@@ -1,0 +1,298 @@
+"""Operation framework: composable shape-specialized pure functions.
+
+The reference composes GPU kernels through an Operation / IOSlot / Dimension
+graph that propagates buffer padding constraints and aliases scratch memory
+(reference: src/katsdpsigproc/accel.py:1115-1960).  On TPU, XLA's fusion and
+buffer assignment subsume padding unification and scratch aliasing, so the
+TPU-native design keeps the reference's *workflow* — build a template once,
+instantiate per shape, bind buffers, call — but each instantiated operation
+is a **pure jitted function** over named arrays:
+
+* a :class:`Slot` declares a named input or output as a
+  ``jax.ShapeDtypeStruct`` (the analogue of ``IOSlot``,
+  accel.py:1379-1502);
+* an :class:`Operation` owns slots plus a pure ``_run(**inputs) -> outputs``
+  (the analogue of ``Operation``, accel.py:1611-1756) and is callable either
+  functionally (``out = op(a=x)``) or via the reference's bind-then-call
+  style;
+* :class:`OperationSequence` chains operations by slot wiring and jits the
+  whole chain as ONE XLA program, so intermediate buffers never round-trip
+  to HBM when XLA can fuse them (the analogue of ``OperationSequence``'s
+  compound/alias slots, accel.py:1759-1835);
+* :func:`visualize_operation` emits Graphviz DOT for the slot graph
+  (accel.py:1935-1960).
+"""
+
+import enum
+from typing import Any, Callable, Dict, List, Mapping, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import shapes as shapes_util
+
+
+class Direction(enum.Enum):
+    IN = "in"
+    OUT = "out"
+
+
+class Slot:
+    """A named buffer requirement on an operation.
+
+    Parameters
+    ----------
+    shape
+        Logical (unpadded) shape.
+    dtype
+        Element type.
+    direction
+        Whether the operation consumes or produces this buffer.
+    pad_value
+        Value with which padding (up to the TPU tile grid) may be filled.
+        The reference leaves padding undefined (doc/user/buffers.rst:26-31);
+        here it is explicit so rank/reduction kernels can rely on it.
+    """
+
+    def __init__(self, shape: Sequence[int], dtype, direction: Direction, pad_value=0):
+        self.shape = tuple(int(s) for s in shape)
+        self.dtype = jnp.dtype(dtype)
+        self.direction = direction
+        self.pad_value = pad_value
+
+    @property
+    def struct(self) -> jax.ShapeDtypeStruct:
+        return jax.ShapeDtypeStruct(self.shape, self.dtype)
+
+    @property
+    def padded_shape(self) -> Tuple[int, ...]:
+        return shapes_util.padded_shape(self.shape, self.dtype)
+
+    def required_bytes(self) -> int:
+        n = 1
+        for s in self.padded_shape:
+            n *= s
+        return n * self.dtype.itemsize
+
+    def validate(self, array) -> None:
+        if tuple(array.shape) != self.shape:
+            raise ValueError(f"expected shape {self.shape}, got {tuple(array.shape)}")
+        if jnp.dtype(array.dtype) != self.dtype:
+            raise TypeError(f"expected dtype {self.dtype}, got {array.dtype}")
+
+    def __repr__(self) -> str:  # pragma: nocover
+        return f"Slot({self.shape}, {self.dtype}, {self.direction.value})"
+
+
+class Operation:
+    """A shape-specialized accelerated operation.
+
+    Subclasses populate ``self.slots`` and implement :meth:`_run` as a pure
+    function mapping input arrays (by slot name) to a dict of output arrays
+    (by slot name).  ``_run`` is traced and compiled once per shape set.
+
+    Two calling conventions are supported:
+
+    * **functional** — ``outputs = op(vis=x)`` returns a dict of outputs;
+    * **bound** — ``op.bind(vis=x); op(); out = op.buffer("deviations")``,
+      mirroring the reference workflow (doc/user/operations.rst:116-145).
+    """
+
+    def __init__(self) -> None:
+        self.slots: Dict[str, Slot] = {}
+        self._bound: Dict[str, Any] = {}
+        self._jitted: Optional[Callable] = None
+
+    # -- abstract ---------------------------------------------------------
+    def _run(self, **inputs):
+        """Pure computation: input arrays by slot name → dict of outputs."""
+        raise NotImplementedError  # pragma: nocover
+
+    # -- introspection ----------------------------------------------------
+    def input_slots(self) -> Dict[str, Slot]:
+        return {k: s for k, s in self.slots.items() if s.direction == Direction.IN}
+
+    def output_slots(self) -> Dict[str, Slot]:
+        return {k: s for k, s in self.slots.items() if s.direction == Direction.OUT}
+
+    def required_bytes(self) -> int:
+        """Total buffer footprint (reference: accel.py:1736-1738)."""
+        return sum(s.required_bytes() for s in self.slots.values())
+
+    def parameters(self) -> Mapping[str, Any]:
+        """Configuration dump (reference: accel.py:1740-1742)."""
+        return {}
+
+    # -- execution --------------------------------------------------------
+    def _compiled(self) -> Callable:
+        if self._jitted is None:
+            self._jitted = jax.jit(lambda inputs: self._run(**inputs))
+        return self._jitted
+
+    def bind(self, **arrays) -> None:
+        """Attach arrays to slots (reference: accel.py:1676-1690)."""
+        for name, array in arrays.items():
+            if name not in self.slots:
+                raise KeyError(f"no slot named {name!r}")
+            self.slots[name].validate(array)
+            self._bound[name] = array
+
+    def ensure_all_bound(self) -> None:
+        """Allocate zeroed arrays for unbound input slots (accel.py:1692-1696)."""
+        for name, slot in self.input_slots().items():
+            if name not in self._bound:
+                self._bound[name] = jnp.zeros(slot.shape, slot.dtype)
+
+    def buffer(self, name: str):
+        """Return the array bound to (or produced for) `name` (accel.py:1698-1712)."""
+        return self._bound[name]
+
+    def __call__(self, **inputs):
+        if inputs:
+            for name in self.input_slots():
+                if name not in inputs:
+                    raise KeyError(f"missing input {name!r}")
+            outputs = self._compiled()({k: inputs[k] for k in self.input_slots()})
+            return outputs
+        # Bound style: consume bound inputs, store outputs for buffer().
+        self.ensure_all_bound()
+        outputs = self._compiled()({k: self._bound[k] for k in self.input_slots()})
+        self._bound.update(outputs)
+        return outputs
+
+
+class OperationSequence(Operation):
+    """Compose child operations into one jitted program.
+
+    Parameters
+    ----------
+    operations
+        Ordered ``(name, operation)`` pairs (reference accel.py:1785).
+    compounds
+        Mapping of sequence-level slot name → list of ``"child:slot"``
+        strings that all refer to the same buffer (the analogue of
+        ``CompoundIOSlot`` dimension linking, accel.py:1802-1809).  Children
+        execute in order; a compound written by an earlier child feeds later
+        children reading it.
+    unwired
+        By default, child slots not mentioned in `compounds` are exposed as
+        ``"child:slot"`` (reference naming, accel.py:1800-1801).
+    """
+
+    def __init__(
+        self,
+        operations: Sequence[Tuple[str, Operation]],
+        compounds: Optional[Mapping[str, Sequence[str]]] = None,
+    ) -> None:
+        super().__init__()
+        self.operations = list(operations)
+        self.compounds = {k: list(v) for k, v in (compounds or {}).items()}
+        self._child_by_name = dict(self.operations)
+        if len(self._child_by_name) != len(self.operations):
+            raise ValueError("duplicate child operation names")
+
+        # Map each child slot to a sequence-level name.
+        self._alias: Dict[Tuple[str, str], str] = {}
+        for seq_name, members in self.compounds.items():
+            for member in members:
+                child, slot = member.split(":", 1)
+                if child not in self._child_by_name:
+                    raise KeyError(f"unknown child {child!r} in compound {seq_name!r}")
+                if slot not in self._child_by_name[child].slots:
+                    raise KeyError(f"child {child!r} has no slot {slot!r}")
+                self._alias[(child, slot)] = seq_name
+
+        # Build sequence-level slots. A compound is IN if some child reads it
+        # before any child writes it; OUT if any child writes it.
+        produced: set = set()
+        for child_name, child in self.operations:
+            for slot_name, slot in child.slots.items():
+                seq_name = self._alias.get(
+                    (child_name, slot_name), f"{child_name}:{slot_name}"
+                )
+                if slot.direction == Direction.IN and seq_name in produced:
+                    # Reading a buffer produced by an earlier child: shapes
+                    # must agree (CompoundIOSlot contract, accel.py:1544-1546).
+                    existing = self.slots[seq_name]
+                    if existing.shape != slot.shape or existing.dtype != slot.dtype:
+                        raise ValueError(
+                            f"compound slot {seq_name!r} mismatch: "
+                            f"{existing.shape}/{existing.dtype} vs {slot.shape}/{slot.dtype}"
+                        )
+                elif slot.direction == Direction.IN:
+                    if seq_name not in self.slots:
+                        self.slots[seq_name] = Slot(
+                            slot.shape, slot.dtype, Direction.IN, slot.pad_value
+                        )
+                    else:
+                        # Shape/dtype agreement across a compound
+                        # (CompoundIOSlot requires equal shapes, accel.py:1544-1546)
+                        existing = self.slots[seq_name]
+                        if existing.shape != slot.shape or existing.dtype != slot.dtype:
+                            raise ValueError(
+                                f"compound slot {seq_name!r} mismatch: "
+                                f"{existing.shape}/{existing.dtype} vs {slot.shape}/{slot.dtype}"
+                            )
+                elif slot.direction == Direction.OUT:
+                    produced.add(seq_name)
+                    self.slots[seq_name] = Slot(slot.shape, slot.dtype, Direction.OUT, slot.pad_value)
+
+    def _run(self, **inputs):
+        env: Dict[str, Any] = dict(inputs)
+        for child_name, child in self.operations:
+            child_inputs = {}
+            for slot_name in child.input_slots():
+                seq_name = self._alias.get((child_name, slot_name), f"{child_name}:{slot_name}")
+                child_inputs[slot_name] = env[seq_name]
+            child_outputs = child._run(**child_inputs)
+            for slot_name, value in child_outputs.items():
+                seq_name = self._alias.get((child_name, slot_name), f"{child_name}:{slot_name}")
+                env[seq_name] = value
+        return {name: env[name] for name, slot in self.output_slots().items() if name in env}
+
+    def required_bytes(self) -> int:
+        # Sequence-level view only: intermediates are XLA's to alias.
+        return sum(s.required_bytes() for s in self.slots.values())
+
+    def parameters(self) -> Mapping[str, Any]:
+        return {name: op.parameters() for name, op in self.operations}
+
+
+def visualize_operation(op: Operation) -> str:
+    """Render the operation/slot graph as Graphviz DOT text.
+
+    Reference: accel.py:1935-1960 (which requires the graphviz package;
+    here the DOT source is returned for the caller to render).
+    """
+    lines = ["digraph operation {", "  rankdir=LR;"]
+    ops: List[Tuple[str, Operation]]
+    if isinstance(op, OperationSequence):
+        ops = op.operations
+    else:
+        ops = [("op", op)]
+    for op_name, child in ops:
+        lines.append(f'  "{op_name}" [shape=box,label="{op_name}\\n{type(child).__name__}"];')
+    seen = set()
+    for op_name, child in ops:
+        for slot_name, slot in child.slots.items():
+            seq_name = (
+                op._alias.get((op_name, slot_name), f"{op_name}:{slot_name}")
+                if isinstance(op, OperationSequence)
+                else slot_name
+            )
+            if seq_name not in seen:
+                seen.add(seq_name)
+                label = f"{seq_name}\\n{slot.shape} {slot.dtype}\\npadded {slot.padded_shape}"
+                lines.append(f'  "slot:{seq_name}" [shape=ellipse,label="{label}"];')
+            if slot.direction == Direction.IN:
+                lines.append(f'  "slot:{seq_name}" -> "{op_name}";')
+            else:
+                lines.append(f'  "{op_name}" -> "slot:{seq_name}";')
+    lines.append("}")
+    return "\n".join(lines)
+
+
+def as_output(name: str, array) -> Dict[str, Any]:
+    """Convenience for single-output ``_run`` implementations."""
+    return {name: array}

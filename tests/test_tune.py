@@ -1,0 +1,135 @@
+"""Tests for the static tuning table (reference: test/test_tune.py patterns)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from katsdpsigproc_tpu.utils import tune
+
+
+class TestAutotune:
+    def test_picks_best(self):
+        scores = {1: 0.5, 2: 0.1, 3: 0.9}
+
+        def generate(x):
+            return lambda iters: scores[x]
+
+        assert tune.autotune(generate, x=[1, 2, 3]) == {"x": 2}
+
+    def test_skips_exceptions(self):
+        def generate(x):
+            if x == 2:
+                raise RuntimeError("bad config")
+            return lambda iters: float(x)
+
+        assert tune.autotune(generate, x=[2, 1, 3]) == {"x": 1}
+
+    def test_raises_if_all_fail(self):
+        def generate(x):
+            raise RuntimeError(f"bad {x}")
+
+        with pytest.raises(RuntimeError, match="bad 3"):
+            tune.autotune(generate, x=[1, 2, 3])
+
+    def test_product_space(self):
+        def generate(a, b):
+            return lambda iters: a * 10 + b
+
+        assert tune.autotune(generate, a=[1, 2], b=[3, 1]) == {"a": 1, "b": 1}
+
+
+class _FakeOp:
+    autotune_version = 3
+
+    @classmethod
+    @tune.autotuner(test={"wgs": 64})
+    def autotune(cls, context, size):
+        cls.ran = True
+        return {"wgs": size * 2}
+
+
+class TestAutotunerTable:
+    def test_miss_runs_and_caches(self, tmp_path, monkeypatch):
+        db = tmp_path / "tuning.json"
+        monkeypatch.setenv("KATSDPSIGPROC_TPU_TUNE_DB", str(db))
+        _FakeOp.ran = False
+        result = _FakeOp.autotune(None, 8)
+        assert result == {"wgs": 16}
+        assert _FakeOp.ran
+        # Second call hits the cache
+        _FakeOp.ran = False
+        assert _FakeOp.autotune(None, 8) == {"wgs": 16}
+        assert not _FakeOp.ran
+        records = json.loads(db.read_text())
+        assert len(records) == 1
+        assert records[0]["version"] == 3
+
+    def test_different_args_miss(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("KATSDPSIGPROC_TPU_TUNE_DB", str(tmp_path / "t.json"))
+        _FakeOp.autotune(None, 8)
+        _FakeOp.ran = False
+        assert _FakeOp.autotune(None, 16) == {"wgs": 32}
+        assert _FakeOp.ran
+
+    def test_nearest_match_ignores_device(self, tmp_path, monkeypatch):
+        db = tmp_path / "t.json"
+        monkeypatch.setenv("KATSDPSIGPROC_TPU_TUNE_DB", str(db))
+        _FakeOp.autotune(None, 8)
+        records = json.loads(db.read_text())
+        records[0]["device_kind"] = "some other chip"
+        db.write_text(json.dumps(records))
+        _FakeOp.ran = False
+        monkeypatch.setenv("KATSDPSIGPROC_TPU_TUNE_MATCH", "nearest")
+        assert _FakeOp.autotune(None, 8) == {"wgs": 16}
+        assert not _FakeOp.ran
+        # Exact matching requires the device to match
+        monkeypatch.setenv("KATSDPSIGPROC_TPU_TUNE_MATCH", "exact")
+        _FakeOp.autotune(None, 8)
+        assert _FakeOp.ran
+
+    def test_stub(self, monkeypatch):
+        monkeypatch.setattr(tune, "autotuner_impl", tune.stub_autotuner)
+        _FakeOp.ran = False
+        assert _FakeOp.autotune(None, 8) == {"wgs": 64}
+        assert not _FakeOp.ran
+
+    def test_force(self, tmp_path, monkeypatch):
+        db = tmp_path / "t.json"
+        monkeypatch.setenv("KATSDPSIGPROC_TPU_TUNE_DB", str(db))
+        _FakeOp.autotune(None, 8)  # populate cache
+        monkeypatch.setattr(tune, "autotuner_impl", tune.force_autotuner)
+        _FakeOp.ran = False
+        assert _FakeOp.autotune(None, 8) == {"wgs": 16}
+        assert _FakeOp.ran  # cache bypassed
+
+
+class TestMakeMeasure:
+    def test_measures(self):
+        import jax.numpy as jnp
+
+        calls = []
+
+        def fn():
+            calls.append(1)
+            return jnp.ones(8)
+
+        measure = tune.make_measure(fn, warmup=1)
+        elapsed = measure(3)
+        assert elapsed >= 0
+        assert len(calls) == 4  # 1 warmup + 3 timed
+
+
+def test_patch_autotune_fixture(patch_autotune):
+    """The pytest plugin stubs autotuning (no table I/O, no measurement)."""
+    _FakeOp.ran = False
+    assert _FakeOp.autotune(None, 8) == {"wgs": 64}
+    assert not _FakeOp.ran
+
+
+@pytest.mark.force_autotune
+def test_force_autotune_mark(patch_autotune, tmp_path, monkeypatch):
+    monkeypatch.setenv("KATSDPSIGPROC_TPU_TUNE_DB", str(tmp_path / "t.json"))
+    _FakeOp.ran = False
+    assert _FakeOp.autotune(None, 4) == {"wgs": 8}
+    assert _FakeOp.ran
