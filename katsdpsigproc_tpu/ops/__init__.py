@@ -1,5 +1,14 @@
 """Primitive accelerated operations (Pallas kernels + composable JAX functions)."""
 
-from . import base  # noqa: F401
+from . import base, fill, maskedsum, percentile, rank, reduce, transpose, wgreduce  # noqa: F401
 
-__all__ = ["base"]
+__all__ = [
+    "base",
+    "fill",
+    "maskedsum",
+    "percentile",
+    "rank",
+    "reduce",
+    "transpose",
+    "wgreduce",
+]

@@ -1,0 +1,79 @@
+"""Fill an array with a constant value.
+
+Reference: src/katsdpsigproc/fill.py:30-148 (FillTemplate/Fill) and
+fill.mako:26-32.  On TPU a fill is a single XLA broadcast — there is no
+tuning dimension worth searching (the reference tunes a work-group size,
+fill.py:70-82), so the template keeps the knob for API compatibility but the
+kernel is `jnp.full`.  Padding is filled too, as in the reference ("The pad
+elements are also filled with this value"): the op produces its slot's
+*padded* shape internally and crops, which XLA folds away.
+"""
+
+from typing import Any, Mapping, Optional, Sequence
+
+import jax.numpy as jnp
+
+from ..utils import tune
+from . import base
+
+
+class FillTemplate:
+    """Fill a device array with a constant value.
+
+    Parameters
+    ----------
+    context
+        Placement context (kept for API parity; compilation is global)
+    dtype
+        Element type
+    ctype
+        Ignored (C type name in the reference; meaningless under XLA)
+    tuning
+        Ignored knob dict (reference tunes ``wgs``)
+    """
+
+    autotune_version = 0
+
+    def __init__(self, context, dtype, ctype: Optional[str] = None, tuning=None) -> None:
+        self.context = context
+        self.dtype = jnp.dtype(dtype)
+        self.ctype = ctype
+        if tuning is None:
+            tuning = self.autotune(context, str(self.dtype))
+        self.wgs = tuning.get("wgs", 128)
+
+    @classmethod
+    @tune.autotuner(test={"wgs": 128})
+    def autotune(cls, context, dtype) -> Mapping[str, Any]:
+        # Nothing to search: XLA emits the optimal broadcast.
+        return {"wgs": 128}
+
+    def instantiate(self, command_queue=None, shape: Sequence[int] = (), allocator=None) -> "Fill":
+        return Fill(self, shape)
+
+
+class Fill(base.Operation):
+    """Concrete instance of :class:`FillTemplate`.
+
+    .. rubric:: Slots
+
+    **data** : output
+        Array filled with the value set by :meth:`set_value`.
+    """
+
+    def __init__(self, template: FillTemplate, shape: Sequence[int]) -> None:
+        super().__init__()
+        self.template = template
+        self.shape = tuple(shape)
+        self.slots["data"] = base.Slot(shape, template.dtype, base.Direction.OUT)
+        self.value = jnp.zeros((), template.dtype)
+
+    def set_value(self, value: Any) -> None:
+        self.value = jnp.asarray(value, self.template.dtype)
+        self._jitted = None  # value is baked into the trace
+
+    def _run(self):
+        return {"data": jnp.full(self.shape, self.value, self.template.dtype)}
+
+    def parameters(self) -> Mapping[str, Any]:
+        return {"dtype": self.template.dtype, "shape": self.shape, "value": self.value}

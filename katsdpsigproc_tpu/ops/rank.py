@@ -1,0 +1,137 @@
+"""Rank-statistic library: exact order statistics on positive float32 data.
+
+The reference finds medians/percentiles with a **bitwise binary search over
+IEEE-754 bit patterns** — positive floats order the same as their integer
+encodings, so 31 rank-count rounds locate any order statistic exactly
+(reference: src/katsdpsigproc/rank.mako:186-231 ``find_rank_float``,
+253-267 ``median_non_zero_float``).
+
+That algorithm is ideal for TPU: each round is a fully-vectorized
+compare-and-sum over the data (VPU), batched over any leading axes, with no
+data movement — and it extends across device shards by replacing the local
+count with a ``psum`` (see :mod:`katsdpsigproc_tpu.parallel.collectives`),
+which is how global percentiles run without gathering data (SURVEY.md §5).
+
+All functions treat NaN as "absent" (NaN comparisons are false, matching the
+reference's padding convention, rank.mako:47-58) and operate along the last
+axis, vectorized over leading axes.  A pluggable ``count_fn`` turns the
+local reductions into collective ones.
+"""
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def _default_count(mask) -> jnp.ndarray:
+    return jnp.sum(mask, axis=-1, dtype=jnp.int32)
+
+
+def rank(values, limit, count_fn: Callable = _default_count):
+    """Count elements strictly less than `limit` (NaN-safe).
+
+    Reference: rank.mako:51-58.  `values` has shape (..., N); `limit` has
+    shape (...,) or is scalar; returns int32 of shape (...,).
+    """
+    limit = jnp.asarray(limit)[..., None] if jnp.ndim(limit) else limit
+    return count_fn(values < limit)
+
+
+def zeros(values, count_fn: Callable = _default_count):
+    """Count zero elements (reference: rank.mako:38-45)."""
+    return count_fn(values == 0)
+
+
+def find_rank_float(
+    values,
+    target_rank,
+    halfway,
+    count_fn: Callable = _default_count,
+    max_below_fn: Optional[Callable] = None,
+):
+    """Exact order statistic of positive float32 data via bitwise binary search.
+
+    Returns the value with 0-based rank `target_rank` (the largest bit
+    pattern whose strict-rank is ≤ `target_rank`).  When `halfway` is true
+    and the element of rank `target_rank` is distinct from its predecessor,
+    returns the average of ranks `target_rank` and ``target_rank - 1``
+    (reference: rank.mako:197-229).
+
+    Parameters
+    ----------
+    values
+        (..., N) positive float32 (NaN = absent).
+    target_rank
+        (...,) or scalar int.
+    halfway
+        (...,) or scalar bool.
+    count_fn
+        Maps a (..., N) bool mask to (...,) int32 counts; override with a
+        psum-augmented version for sharded data.
+    max_below_fn
+        Maps (values, limit) to the largest value strictly below `limit`
+        (0 if none); defaults to a local masked max.  Override for sharded
+        data.
+    """
+    values = jnp.asarray(values)
+    target_rank = jnp.asarray(target_rank, jnp.int32)
+    halfway = jnp.asarray(halfway)
+    batch_shape = values.shape[:-1]
+    target_b = jnp.broadcast_to(target_rank, batch_shape)
+
+    def body(i, cur):
+        bit = jnp.int32(1) << (30 - i)
+        test = cur | bit
+        candidate = lax.bitcast_convert_type(test, jnp.float32)
+        r = count_fn(values < candidate[..., None])
+        return jnp.where(r <= target_b, test, cur)
+
+    cur = lax.fori_loop(0, 31, body, jnp.zeros(batch_shape, jnp.int32))
+    result = lax.bitcast_convert_type(cur, jnp.float32)
+
+    # Halfway correction: if result's strict rank equals target exactly, the
+    # predecessor is a distinct value — average with it (rank.mako:209-218).
+    r = count_fn(values < result[..., None])
+    if max_below_fn is None:
+        # NaN < result is False, so NaNs drop out to 0 (positive data only,
+        # mirroring rank.mako:95-104 max_below starting from 0).
+        prev = jnp.max(jnp.where(values < result[..., None], values, 0.0), axis=-1)
+    else:
+        prev = max_below_fn(values, result)
+    need_avg = jnp.logical_and(jnp.broadcast_to(halfway, batch_shape), r == target_b)
+    return jnp.where(need_avg, (result + prev) * 0.5, result)
+
+
+def fmin(values, reduce_fn: Optional[Callable] = None):
+    """Smallest non-NaN value, or NaN if none (reference: rank.mako:63-73)."""
+    masked = jnp.where(jnp.isnan(values), jnp.inf, values)
+    result = jnp.min(masked, axis=-1) if reduce_fn is None else reduce_fn(masked, "min")
+    all_nan = result == jnp.inf
+    return jnp.where(all_nan, jnp.nan, result)
+
+
+def fmax(values, reduce_fn: Optional[Callable] = None):
+    """Largest non-NaN value, or NaN if none (reference: rank.mako:78-88)."""
+    masked = jnp.where(jnp.isnan(values), -jnp.inf, values)
+    result = jnp.max(masked, axis=-1) if reduce_fn is None else reduce_fn(masked, "max")
+    all_nan = result == -jnp.inf
+    return jnp.where(all_nan, jnp.nan, result)
+
+
+def median_non_zero(values, n: Optional[jnp.ndarray] = None, count_fn: Callable = _default_count):
+    """Median of the non-zero values (positive float32; NaN = absent).
+
+    `n` is the count of present (non-NaN) elements; defaults to the full
+    last-axis length.  With ``z`` zeros among ``n`` values, the median of
+    the ``n - z`` non-zeros has global strict-rank target ``(n + z) // 2``
+    with halfway averaging when ``n - z`` is even — exactly the reference's
+    formulation (rank.mako:261-266), which matches ``np.median`` on the
+    non-zero subset.
+    """
+    values = jnp.asarray(values)
+    if n is None:
+        n = jnp.int32(values.shape[-1])
+    z = zeros(values, count_fn)
+    rank2 = jnp.asarray(n, jnp.int32) + z
+    return find_rank_float(values, rank2 // 2, (rank2 & 1) == 0, count_fn)
