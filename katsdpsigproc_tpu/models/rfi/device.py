@@ -1,0 +1,729 @@
+"""TPU device implementations of the RFI flagging pipeline.
+
+Mirrors the reference's device flagger framework (reference:
+src/katsdpsigproc/rfi/device.py): per-stage Template/Operation pairs with a
+``transposed`` memory-order attribute and ``host_class`` back-pointers,
+``*HostFromDevice`` wrappers presenting the host oracle API over device
+implementations, and a composed ``FlaggerDevice`` pipeline.
+
+TPU-native design choices (not a translation):
+
+* **Background median filter** (reference
+  rfi/background_median_filter.mako:79-220 — a serial sliding rank-
+  maintenance window per thread): reformulated as a *vectorized windowed
+  median* — the ``width`` shifted copies of the deviation array are sorted
+  along the tiny window axis (a compare-exchange network on the VPU) and
+  the two middle valid entries are gathered.  Flagged samples become NaN
+  (the reference's ``-1`` sentinel) and drop out of the count exactly as
+  the reference's ``num_valid`` bookkeeping does.
+* **MAD noise estimation** (reference rfi/madnz_t.mako:72-87): the same
+  bitwise IEEE-754 binary search as the reference, fully vectorized over
+  baselines (see :mod:`katsdpsigproc_tpu.ops.rank`).
+* **SumThreshold** (reference rfi/threshold_sum.mako:49-132 — Kogge-Stone
+  ladders in local memory): expressed as shifted-window sums and boolean
+  dilations along the channel axis — pure VPU elementwise chains that XLA
+  fuses; no barriers, no local memory, no ``EDGE_SIZE`` halo bookkeeping
+  (the whole baseline is resident).  Window sums use direct shifted adds
+  (not cumsum differences) so float behaviour tracks the host oracle's
+  ``np.convolve``.
+* **Layout**: stages declare ``transposed`` (baseline-major) like the
+  reference, and ``FlaggerDevice`` inserts transposes where stage layouts
+  disagree (reference rfi/device.py:1026-1037,1135-1164) — but since the
+  whole pipeline is one jitted XLA program, those transposes are layout
+  changes for the compiler, not extra HBM round-trips.
+"""
+
+import enum
+from typing import Any, Mapping, Optional, Type, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import base, rank as rank_ops, transpose as transpose_ops
+from ...utils import tune
+from . import MAD_NORMAL, host
+
+
+class BackgroundFlags(enum.Enum):
+    """Input-flag modes for backgrounding (reference rfi/device.py:40-46)."""
+
+    NONE = 0
+    CHANNEL = 1
+    FULL = 2
+
+    def __bool__(self):
+        return self != BackgroundFlags.NONE
+
+
+# ---------------------------------------------------------------------------
+# Functional kernels
+# ---------------------------------------------------------------------------
+
+
+def masked_median_filter(amp, width: int):
+    """Centred windowed median along axis 0, NaN = absent, min_periods=1.
+
+    `amp` is (channels, baselines) float32 with NaN marking flagged/absent
+    samples.  Returns (median, valid_count) where `median` is NaN for
+    windows with no valid samples.  Matches the reference's sliding filter
+    semantics (background_median_filter.mako:96-145): even valid counts
+    average the two middle values.
+    """
+    h = width // 2
+    c = amp.shape[0]
+    padded = jnp.pad(amp, ((h, h),) + ((0, 0),) * (amp.ndim - 1), constant_values=jnp.nan)
+    # (width, channels, ...) window stack; lanes/sublanes untouched.
+    windows = jnp.stack([padded[k : k + c] for k in range(width)], axis=0)
+    n = jnp.sum(~jnp.isnan(windows), axis=0, dtype=jnp.int32)
+    s = jnp.sort(jnp.where(jnp.isnan(windows), jnp.inf, windows), axis=0)
+    lo = jnp.clip((n - 1) // 2, 0, width - 1)
+    hi = jnp.clip(n // 2, 0, width - 1)
+    v_lo = jnp.take_along_axis(s, lo[None], axis=0)[0]
+    v_hi = jnp.take_along_axis(s, hi[None], axis=0)[0]
+    med = (v_lo + v_hi) * 0.5
+    return jnp.where(n > 0, med, jnp.nan), n
+
+
+def background_median_filter(vis, flags, width: int, is_amplitude: bool, use_flags: BackgroundFlags):
+    """Deviations from a windowed-median background (channels, baselines).
+
+    Semantics follow the reference kernel (background_median_filter.mako):
+    flagged inputs (and, for amplitude input, negative values) are excluded
+    from the median and map to 0 in the output; the output elsewhere is
+    ``amp - median(valid window)``.
+    """
+    if is_amplitude:
+        amp = vis.astype(jnp.float32)
+        invalid = amp < 0
+    else:
+        amp = jnp.abs(vis).astype(jnp.float32)
+        invalid = jnp.zeros(amp.shape, bool)
+    if use_flags == BackgroundFlags.CHANNEL:
+        invalid = invalid | (flags != 0)[:, None]
+    elif use_flags == BackgroundFlags.FULL:
+        invalid = invalid | (flags != 0)
+    amp = jnp.where(invalid, jnp.nan, amp)
+    med, _ = masked_median_filter(amp, width)
+    deviations = amp - med
+    return jnp.where(jnp.isnan(deviations), 0.0, deviations).astype(jnp.float32)
+
+
+def madnz(deviations_t, n_channels: Optional[int] = None):
+    """MAD noise per baseline from transposed deviations (baselines, channels).
+
+    ``MAD_NORMAL * median(nonzero |deviations|)`` with the reference's exact
+    rank arithmetic (madnz_t.mako:72-87 → rank.mako:253-267).
+    """
+    values = jnp.abs(deviations_t).astype(jnp.float32)
+    return (MAD_NORMAL * rank_ops.median_non_zero(values, n_channels)).astype(jnp.float32)
+
+
+def threshold_simple(deviations, noise, n_sigma: float, flag_value: int = 1, transposed=False):
+    """Elementwise ``deviations > n_sigma * noise`` (reference threshold_simple.mako)."""
+    noise_b = noise[None, :] if not transposed else noise[:, None]
+    return jnp.where(deviations > n_sigma * noise_b, jnp.uint8(flag_value), jnp.uint8(0))
+
+
+def threshold_sum(
+    deviations_t,
+    noise,
+    n_sigma: float,
+    n_windows: int = 4,
+    threshold_falloff: float = 1.2,
+    flag_value: int = 1,
+):
+    """SumThreshold on transposed deviations (baselines, channels).
+
+    Matches the host oracle exactly (host.py ThresholdSumHost /
+    reference rfi/host.py:186-254): full windows only; flagged samples are
+    clamped to the current threshold; flags disperse over every sample
+    covered by an outlier window.  Window sums are direct shifted adds and
+    the dispersal is a boolean dilation — all fusable VPU work
+    (cf. threshold_sum.mako:84-121's local-memory Kogge-Stone ladders).
+    """
+    channels = deviations_t.shape[-1]
+    flags = jnp.zeros(deviations_t.shape, bool)
+    base_threshold = (n_sigma * noise)[:, None].astype(jnp.float32)
+    for w in range(n_windows):
+        window = 1 << w
+        if window > channels:
+            break
+        threshold = (base_threshold * np.float32(threshold_falloff ** -w)).astype(jnp.float32)
+        clamped = jnp.where(flags, threshold, deviations_t)
+        #
+
+        # sums[k] = sum(clamped[k : k + window]), k in [0, channels - window]
+        sums = clamped[..., : channels - window + 1]
+        for j in range(1, window):
+            sums = sums + clamped[..., j : channels - window + 1 + j]
+        sum_flags = sums > threshold * window
+        # flag[c] |= any(sum_flags[max(0, c-window+1) : min(c, channels-window) + 1])
+        dilated = jnp.pad(sum_flags, ((0, 0),) * (sum_flags.ndim - 1) + ((window - 1, window - 1),))
+        new_flags = dilated[..., :channels]
+        for j in range(1, window):
+            new_flags = new_flags | dilated[..., j : channels + j]
+        flags = flags | new_flags
+    return jnp.where(flags, jnp.uint8(flag_value), jnp.uint8(0))
+
+
+# ---------------------------------------------------------------------------
+# Stage templates / operations
+# ---------------------------------------------------------------------------
+
+
+class AbstractBackgroundDeviceTemplate:
+    use_flags: BackgroundFlags
+    host_class: Type[host.AbstractBackgroundHost]
+
+    def instantiate(self, command_queue, channels, baselines, allocator=None):
+        raise NotImplementedError  # pragma: nocover
+
+
+class AbstractNoiseEstDeviceTemplate:
+    transposed: bool
+    host_class: Type[host.AbstractNoiseEstHost]
+
+    def instantiate(self, command_queue, channels, baselines, allocator=None):
+        raise NotImplementedError  # pragma: nocover
+
+
+class AbstractThresholdDeviceTemplate:
+    transposed: bool
+    host_class: Type[host.AbstractThresholdHost]
+
+    def instantiate(self, command_queue, channels, baselines, n_sigma, *, allocator=None):
+        raise NotImplementedError  # pragma: nocover
+
+
+class BackgroundMedianFilterDeviceTemplate(AbstractBackgroundDeviceTemplate):
+    """Device backgrounder: windowed-median filter per baseline (by amplitude).
+
+    Reference: rfi/device.py:141-263.  Tuning knobs are the Pallas block
+    sides used by the fused flagger kernel (the reference tunes
+    ``wgs``/``csplit``, rfi/device.py:211-252).
+
+    Parameters
+    ----------
+    context
+        Placement context.
+    width
+        The kernel width (must be odd).
+    is_amplitude
+        If true, inputs are amplitudes rather than complex visibilities.
+    use_flags
+        NONE / CHANNEL / FULL input-flag mode (bool accepted as alias).
+    """
+
+    host_class = host.BackgroundMedianFilterHost
+    autotune_version = 4
+
+    def __init__(self, context, width: int, is_amplitude: bool = False,
+                 use_flags: Union[BackgroundFlags, bool] = BackgroundFlags.NONE, tuning=None):
+        self.context = context
+        self.width = width
+        self.is_amplitude = is_amplitude
+        if use_flags is True:
+            use_flags = BackgroundFlags.CHANNEL
+        elif use_flags is False:
+            use_flags = BackgroundFlags.NONE
+        if not isinstance(use_flags, BackgroundFlags):
+            raise TypeError("use_flags must be an instance of BackgroundFlags or bool")
+        self.use_flags = use_flags
+        if tuning is None:
+            tuning = self.autotune(context, width, is_amplitude, use_flags.name)
+        self.bc = tuning.get("bc", 512)
+        self.bb = tuning.get("bb", 128)
+
+    @classmethod
+    @tune.autotuner(test={"bc": 512, "bb": 128})
+    def autotune(cls, context, width, is_amplitude, use_flags) -> Mapping[str, Any]:
+        return {"bc": 512, "bb": 128}
+
+    def instantiate(self, command_queue=None, channels=0, baselines=0, allocator=None):
+        return BackgroundMedianFilterDevice(self, channels, baselines)
+
+
+class BackgroundMedianFilterDevice(base.Operation):
+    """Concrete background op (reference rfi/device.py:265-333).
+
+    .. rubric:: Slots
+
+    **vis** : (channels, baselines) float32 or complex64
+    **flags** : (channels, baselines) or (channels,) uint8 — only with use_flags
+    **deviations** : (channels, baselines) float32, output
+    """
+
+    def __init__(self, template: BackgroundMedianFilterDeviceTemplate, channels, baselines):
+        super().__init__()
+        self.template = template
+        self.channels = channels
+        self.baselines = baselines
+        vis_type = jnp.float32 if template.is_amplitude else jnp.complex64
+        shape = (channels, baselines)
+        self.slots["vis"] = base.Slot(shape, vis_type, base.Direction.IN)
+        self.slots["deviations"] = base.Slot(shape, jnp.float32, base.Direction.OUT)
+        if template.use_flags == BackgroundFlags.FULL:
+            self.slots["flags"] = base.Slot(shape, jnp.uint8, base.Direction.IN)
+        elif template.use_flags == BackgroundFlags.CHANNEL:
+            self.slots["flags"] = base.Slot((channels,), jnp.uint8, base.Direction.IN)
+
+    def _run(self, vis, flags=None):
+        deviations = background_median_filter(
+            vis, flags, self.template.width, self.template.is_amplitude, self.template.use_flags
+        )
+        return {"deviations": deviations}
+
+    def parameters(self) -> Mapping[str, Any]:
+        return {
+            "width": self.template.width,
+            "use_flags": self.template.use_flags.name,
+            "channels": self.channels,
+            "baselines": self.baselines,
+        }
+
+
+class NoiseEstMADTDeviceTemplate(AbstractNoiseEstDeviceTemplate):
+    """Transposed-layout MAD noise estimator (reference rfi/device.py:363-614).
+
+    The reference's transposed variant holds a whole baseline per workgroup
+    (madnz_t.mako); on TPU each baseline is a vector-lane row and the rank
+    search vectorizes across baselines, so `max_channels` is only a VMEM
+    budget hint for the fused Pallas path.
+    """
+
+    host_class = host.NoiseEstMADHost
+    transposed = True
+    autotune_version = 2
+
+    def __init__(self, context, max_channels: int = 32768, tuning=None):
+        self.context = context
+        self.max_channels = max_channels
+        if tuning is None:
+            tuning = self.autotune(context, max_channels)
+        self.bb = tuning.get("bb", 8)
+
+    @classmethod
+    @tune.autotuner(test={"bb": 8})
+    def autotune(cls, context, max_channels) -> Mapping[str, Any]:
+        return {"bb": 8}
+
+    def instantiate(self, command_queue=None, channels=0, baselines=0, allocator=None):
+        if channels > self.max_channels:
+            raise ValueError("channels exceeds max_channels")
+        return NoiseEstMADTDevice(self, channels, baselines)
+
+
+class NoiseEstMADTDevice(base.Operation):
+    """.. rubric:: Slots
+
+    **deviations** : (baselines, channels) float32 (transposed layout)
+    **noise** : (baselines,) float32, output
+    """
+
+    transposed = True
+
+    def __init__(self, template, channels, baselines):
+        super().__init__()
+        self.template = template
+        self.channels = channels
+        self.baselines = baselines
+        self.slots["deviations"] = base.Slot((baselines, channels), jnp.float32, base.Direction.IN)
+        self.slots["noise"] = base.Slot((baselines,), jnp.float32, base.Direction.OUT)
+
+    def _run(self, deviations):
+        return {"noise": madnz(deviations)}
+
+    def parameters(self) -> Mapping[str, Any]:
+        return {"channels": self.channels, "baselines": self.baselines, "transposed": True}
+
+
+class NoiseEstMADDeviceTemplate(AbstractNoiseEstDeviceTemplate):
+    """Straight-layout MAD noise estimator (reference rfi/device.py:363-470).
+
+    Same arithmetic as the transposed variant; XLA folds the axis swap into
+    the rank reductions, so no physical corner-turn happens.
+    """
+
+    host_class = host.NoiseEstMADHost
+    transposed = False
+    autotune_version = 2
+
+    def __init__(self, context, tuning=None):
+        self.context = context
+        if tuning is None:
+            tuning = self.autotune(context)
+        self.wgsx = tuning.get("wgsx", 8)
+        self.wgsy = tuning.get("wgsy", 8)
+
+    @classmethod
+    @tune.autotuner(test={"wgsx": 8, "wgsy": 8})
+    def autotune(cls, context) -> Mapping[str, Any]:
+        return {"wgsx": 8, "wgsy": 8}
+
+    def instantiate(self, command_queue=None, channels=0, baselines=0, allocator=None):
+        return NoiseEstMADDevice(self, channels, baselines)
+
+
+class NoiseEstMADDevice(base.Operation):
+    """.. rubric:: Slots
+
+    **deviations** : (channels, baselines) float32
+    **noise** : (baselines,) float32, output
+    """
+
+    transposed = False
+
+    def __init__(self, template, channels, baselines):
+        super().__init__()
+        self.template = template
+        self.channels = channels
+        self.baselines = baselines
+        self.slots["deviations"] = base.Slot((channels, baselines), jnp.float32, base.Direction.IN)
+        self.slots["noise"] = base.Slot((baselines,), jnp.float32, base.Direction.OUT)
+
+    def _run(self, deviations):
+        return {"noise": madnz(jnp.swapaxes(deviations, 0, 1))}
+
+    def parameters(self) -> Mapping[str, Any]:
+        return {"channels": self.channels, "baselines": self.baselines, "transposed": False}
+
+
+class ThresholdSimpleDeviceTemplate(AbstractThresholdDeviceTemplate):
+    """Elementwise threshold (reference rfi/device.py:654-809)."""
+
+    host_class = host.ThresholdSimpleHost
+
+    def __init__(self, context, transposed: bool = False, flag_value: int = 1, tuning=None):
+        self.context = context
+        self.transposed = transposed
+        self.flag_value = flag_value
+        if tuning is None:
+            tuning = self.autotune(context, transposed)
+        self.wgsx = tuning.get("wgsx", 8)
+        self.wgsy = tuning.get("wgsy", 8)
+
+    @classmethod
+    @tune.autotuner(test={"wgsx": 8, "wgsy": 8})
+    def autotune(cls, context, transposed) -> Mapping[str, Any]:
+        return {"wgsx": 8, "wgsy": 8}
+
+    def instantiate(self, command_queue=None, channels=0, baselines=0, n_sigma=11.0, *, allocator=None):
+        return ThresholdSimpleDevice(self, channels, baselines, n_sigma)
+
+
+class ThresholdSimpleDevice(base.Operation):
+    """.. rubric:: Slots
+
+    **deviations** : (channels, baselines) float32 — or (baselines, channels) if transposed
+    **noise** : (baselines,) float32
+    **flags** : same shape as deviations, uint8, output
+    """
+
+    def __init__(self, template, channels, baselines, n_sigma):
+        super().__init__()
+        self.template = template
+        self.transposed = template.transposed
+        self.channels = channels
+        self.baselines = baselines
+        self.n_sigma = n_sigma
+        shape = (baselines, channels) if template.transposed else (channels, baselines)
+        self.slots["deviations"] = base.Slot(shape, jnp.float32, base.Direction.IN)
+        self.slots["noise"] = base.Slot((baselines,), jnp.float32, base.Direction.IN)
+        self.slots["flags"] = base.Slot(shape, jnp.uint8, base.Direction.OUT)
+
+    def _run(self, deviations, noise):
+        flags = threshold_simple(
+            deviations, noise, self.n_sigma, self.template.flag_value, self.transposed
+        )
+        return {"flags": flags}
+
+    def parameters(self) -> Mapping[str, Any]:
+        return {
+            "n_sigma": self.n_sigma,
+            "flag_value": self.template.flag_value,
+            "transposed": self.transposed,
+        }
+
+
+class ThresholdSumDeviceTemplate(AbstractThresholdDeviceTemplate):
+    """SumThreshold on transposed data (reference rfi/device.py:812-995).
+
+    Parameters
+    ----------
+    n_windows
+        Number of power-of-two window sizes.
+    threshold_falloff
+        ρ in Offringa (2010); per-window thresholds are
+        ``n_sigma * rho**-i`` (reference rfi/device.py:957-959).
+    """
+
+    host_class = host.ThresholdSumHost
+    transposed = True
+    autotune_version = 2
+
+    def __init__(self, context, n_windows: int = 4, threshold_falloff: float = 1.2,
+                 flag_value: int = 1, tuning=None):
+        self.context = context
+        self.n_windows = n_windows
+        self.threshold_falloff = threshold_falloff
+        self.flag_value = flag_value
+        if tuning is None:
+            tuning = self.autotune(context, n_windows)
+        self.bb = tuning.get("bb", 8)
+
+    @classmethod
+    @tune.autotuner(test={"bb": 8})
+    def autotune(cls, context, n_windows) -> Mapping[str, Any]:
+        return {"bb": 8}
+
+    def instantiate(self, command_queue=None, channels=0, baselines=0, n_sigma=11.0, *, allocator=None):
+        return ThresholdSumDevice(self, channels, baselines, n_sigma)
+
+
+class ThresholdSumDevice(base.Operation):
+    """.. rubric:: Slots
+
+    **deviations** : (baselines, channels) float32 (transposed layout)
+    **noise** : (baselines,) float32
+    **flags** : (baselines, channels) uint8, output
+    """
+
+    transposed = True
+
+    def __init__(self, template, channels, baselines, n_sigma):
+        super().__init__()
+        self.template = template
+        self.channels = channels
+        self.baselines = baselines
+        self.n_sigma = n_sigma
+        shape = (baselines, channels)
+        self.slots["deviations"] = base.Slot(shape, jnp.float32, base.Direction.IN)
+        self.slots["noise"] = base.Slot((baselines,), jnp.float32, base.Direction.IN)
+        self.slots["flags"] = base.Slot(shape, jnp.uint8, base.Direction.OUT)
+
+    def _run(self, deviations, noise):
+        flags = threshold_sum(
+            deviations,
+            noise,
+            self.n_sigma,
+            self.template.n_windows,
+            self.template.threshold_falloff,
+            self.template.flag_value,
+        )
+        return {"flags": flags}
+
+    def parameters(self) -> Mapping[str, Any]:
+        return {
+            "n_sigma": self.n_sigma,
+            "n_windows": self.template.n_windows,
+            "threshold_falloff": self.template.threshold_falloff,
+            "flag_value": self.template.flag_value,
+        }
+
+
+# ---------------------------------------------------------------------------
+# Layout-change helper ops
+# ---------------------------------------------------------------------------
+
+
+class _TransposeOp(base.Operation):
+    """Internal corner-turn between straight and transposed stages."""
+
+    def __init__(self, shape, dtype):
+        super().__init__()
+        self.slots["src"] = base.Slot(shape, dtype, base.Direction.IN)
+        self.slots["dest"] = base.Slot((shape[1], shape[0]), dtype, base.Direction.OUT)
+
+    def _run(self, src):
+        return {"dest": transpose_ops.transpose(src)}
+
+
+# ---------------------------------------------------------------------------
+# Composed flagger
+# ---------------------------------------------------------------------------
+
+
+class FlaggerDeviceTemplate:
+    """Compose background, noise estimation and thresholding stages.
+
+    Reference: rfi/device.py:998-1107.  Transposes are inserted
+    automatically when the stage ``transposed`` attributes demand
+    (rfi/device.py:1026-1037); under one jit they are layout directives to
+    XLA rather than materialized corner-turns.
+    """
+
+    def __init__(
+        self,
+        background: BackgroundMedianFilterDeviceTemplate,
+        noise_est: AbstractNoiseEstDeviceTemplate,
+        threshold: AbstractThresholdDeviceTemplate,
+    ):
+        self.background = background
+        self.noise_est = noise_est
+        self.threshold = threshold
+
+    def instantiate(
+        self,
+        command_queue=None,
+        channels: int = 0,
+        baselines: int = 0,
+        background_args: Mapping[str, Any] = {},
+        noise_est_args: Mapping[str, Any] = {},
+        threshold_args: Mapping[str, Any] = {},
+        allocator=None,
+    ):
+        return FlaggerDevice(
+            self, channels, baselines, background_args, noise_est_args, threshold_args
+        )
+
+
+class FlaggerDevice(base.OperationSequence):
+    """Concrete composed flagger (reference rfi/device.py:1039-1166).
+
+    .. rubric:: Slots
+
+    **vis** : (channels, baselines) — input visibilities
+    **input_flags** : input flags (only when background uses flags)
+    **flags** : (channels, baselines) uint8 — output flags
+    """
+
+    def __init__(self, template, channels, baselines, background_args={},
+                 noise_est_args={}, threshold_args={}):
+        self.template = template
+        self.channels = channels
+        self.baselines = baselines
+
+        background = template.background.instantiate(
+            None, channels, baselines, **dict(background_args)
+        )
+        noise_est = template.noise_est.instantiate(None, channels, baselines, **dict(noise_est_args))
+        threshold = template.threshold.instantiate(None, channels, baselines, **dict(threshold_args))
+
+        noise_t = getattr(noise_est, "transposed", template.noise_est.transposed)
+        thresh_t = getattr(threshold, "transposed", template.threshold.transposed)
+
+        operations = [("background", background)]
+        compounds = {"vis": ["background:vis"], "deviations": ["background:deviations"]}
+        if template.background.use_flags:
+            compounds["input_flags"] = ["background:flags"]
+
+        need_dev_t = noise_t or thresh_t
+        if need_dev_t:
+            operations.append(
+                ("transpose_deviations", _TransposeOp((channels, baselines), jnp.float32))
+            )
+            compounds["deviations"].append("transpose_deviations:src")
+            compounds["deviations_t"] = ["transpose_deviations:dest"]
+
+        operations.append(("noise_est", noise_est))
+        dev_name = "deviations_t" if noise_t else "deviations"
+        compounds[dev_name] = compounds.get(dev_name, []) + ["noise_est:deviations"]
+        compounds["noise"] = ["noise_est:noise"]
+
+        operations.append(("threshold", threshold))
+        dev_name = "deviations_t" if thresh_t else "deviations"
+        compounds[dev_name] = compounds.get(dev_name, []) + ["threshold:deviations"]
+        compounds["noise"].append("threshold:noise")
+
+        if thresh_t:
+            compounds["flags_t"] = ["threshold:flags"]
+            operations.append(("transpose_flags", _TransposeOp((baselines, channels), jnp.uint8)))
+            compounds["flags_t"].append("transpose_flags:src")
+            compounds["flags"] = ["transpose_flags:dest"]
+        else:
+            compounds["flags"] = ["threshold:flags"]
+
+        super().__init__(operations, compounds)
+
+    def parameters(self) -> Mapping[str, Any]:
+        return {
+            "channels": self.channels,
+            "baselines": self.baselines,
+            **{f"{name}:{k}": v for name, op in self.operations
+               for k, v in op.parameters().items()},
+        }
+
+
+# ---------------------------------------------------------------------------
+# Host-interface wrappers (the oracle adapters used by the parity tests)
+# ---------------------------------------------------------------------------
+
+
+class BackgroundHostFromDevice(host.AbstractBackgroundHost):
+    """Present the host API over a device background template
+    (reference rfi/device.py:113-138)."""
+
+    def __init__(self, template: AbstractBackgroundDeviceTemplate, command_queue=None):
+        self.template = template
+        self.command_queue = command_queue
+
+    def __call__(self, vis: np.ndarray, flags: Optional[np.ndarray] = None) -> np.ndarray:
+        if flags is not None and not self.template.use_flags:
+            raise TypeError("flags were provided but not included in the template")
+        if flags is None and self.template.use_flags:
+            raise TypeError("flags were expected but not provided")
+        channels, baselines = vis.shape
+        fn = self.template.instantiate(self.command_queue, channels, baselines)
+        inputs = {"vis": jnp.asarray(fn.slots["vis"].dtype.type(vis))}
+        if flags is not None:
+            inputs["flags"] = jnp.asarray(flags.astype(np.uint8))
+        return np.asarray(fn(**inputs)["deviations"])
+
+
+class NoiseEstHostFromDevice(host.AbstractNoiseEstHost):
+    """Reference rfi/device.py:336-360."""
+
+    def __init__(self, template: AbstractNoiseEstDeviceTemplate, command_queue=None):
+        self.template = template
+
+    def __call__(self, deviations: np.ndarray) -> np.ndarray:
+        channels, baselines = deviations.shape
+        fn = self.template.instantiate(None, channels, baselines)
+        dev = deviations.astype(np.float32)
+        if self.template.transposed:
+            dev = dev.T
+        return np.asarray(fn(deviations=jnp.asarray(dev))["noise"])
+
+
+class ThresholdHostFromDevice(host.AbstractThresholdHost):
+    """Reference rfi/device.py:617-651."""
+
+    def __init__(self, template: AbstractThresholdDeviceTemplate, command_queue=None, **kwargs):
+        self.template = template
+        self.kwargs = kwargs
+
+    def __call__(self, deviations: np.ndarray, noise: np.ndarray) -> np.ndarray:
+        channels, baselines = deviations.shape
+        fn = self.template.instantiate(None, channels, baselines, **self.kwargs)
+        dev = deviations.astype(np.float32)
+        if self.template.transposed:
+            dev = dev.T
+        out = np.asarray(
+            fn(deviations=jnp.asarray(dev), noise=jnp.asarray(noise.astype(np.float32)))["flags"]
+        )
+        if self.template.transposed:
+            out = out.T
+        return out
+
+
+class FlaggerHostFromDevice(host.AbstractFlaggerHost):
+    """Reference rfi/device.py:1169-1222."""
+
+    def __init__(self, template: FlaggerDeviceTemplate, command_queue=None,
+                 background_args: Mapping[str, Any] = {}, noise_est_args: Mapping[str, Any] = {},
+                 threshold_args: Mapping[str, Any] = {}):
+        self.template = template
+        self.background_args = dict(background_args)
+        self.noise_est_args = dict(noise_est_args)
+        self.threshold_args = dict(threshold_args)
+
+    def __call__(self, vis: np.ndarray, input_flags: Optional[np.ndarray] = None) -> np.ndarray:
+        channels, baselines = vis.shape
+        fn = self.template.instantiate(
+            None, channels, baselines,
+            self.background_args, self.noise_est_args, self.threshold_args,
+        )
+        inputs = {"vis": jnp.asarray(fn.slots["vis"].dtype.type(vis))}
+        if input_flags is not None:
+            inputs["input_flags"] = jnp.asarray(input_flags.astype(np.uint8))
+        return np.asarray(fn(**inputs)["flags"])

@@ -1,0 +1,177 @@
+"""Device-vs-host parity tests for the RFI pipeline.
+
+Follows the reference's oracle pattern exactly: the host classes are the
+oracles for the device classes, via the *HostFromDevice wrappers
+(reference: test/rfi/test_background.py:63-107, test_noise_est.py:46-79,
+test_threshold.py:44-93, test_flagger.py:55-130)."""
+
+import numpy as np
+import pytest
+
+from katsdpsigproc_tpu.models.rfi import device, host
+
+from ..helpers import complex_normal, rfi_test_data
+
+
+@pytest.fixture
+def ctx(patch_autotune):
+    from katsdpsigproc_tpu.utils import backend
+
+    return backend.create_some_context()
+
+
+@pytest.fixture(scope="module")
+def big_data():
+    shape = (417, 313)
+    rs = np.random.RandomState(seed=1)
+    vis = complex_normal(rs, size=shape).astype(np.complex64)
+    flags = (rs.random_sample(shape) < 0.1).astype(np.uint8)
+    flags[100:110, 0:100] = 4  # entire windows flagged; non-0/1 flag values
+    return vis, flags
+
+
+class TestBackgroundDevice:
+    @pytest.mark.parametrize("amplitudes", [False, True])
+    @pytest.mark.parametrize(
+        "use_flags",
+        [device.BackgroundFlags.NONE, device.BackgroundFlags.CHANNEL, device.BackgroundFlags.FULL],
+    )
+    def test_vs_host(self, ctx, big_data, amplitudes, use_flags):
+        width = 5
+        vis, flags = big_data
+        template = device.BackgroundMedianFilterDeviceTemplate(ctx, width, amplitudes, use_flags)
+        bg_host = template.host_class(width, amplitudes)
+        bg_device = device.BackgroundHostFromDevice(template)
+        if amplitudes:
+            vis = np.abs(vis)
+        if use_flags:
+            f = flags if use_flags == device.BackgroundFlags.FULL else flags[:, 0]
+            out_host = bg_host(vis, f)
+            out_device = bg_device(vis, f)
+        else:
+            out_host = bg_host(vis)
+            out_device = bg_device(vis)
+        np.testing.assert_allclose(out_host, out_device, atol=1e-6)
+
+    def test_use_flags_validation(self, ctx):
+        with pytest.raises(TypeError):
+            device.BackgroundMedianFilterDeviceTemplate(ctx, 5, use_flags="yes")
+        t = device.BackgroundMedianFilterDeviceTemplate(ctx, 5, use_flags=True)
+        assert t.use_flags == device.BackgroundFlags.CHANNEL
+        t = device.BackgroundMedianFilterDeviceTemplate(ctx, 5, use_flags=False)
+        assert t.use_flags == device.BackgroundFlags.NONE
+
+    def test_flag_mismatch_raises(self, ctx):
+        template = device.BackgroundMedianFilterDeviceTemplate(ctx, 5)
+        wrapper = device.BackgroundHostFromDevice(template)
+        with pytest.raises(TypeError):
+            wrapper(np.zeros((8, 4), np.complex64), np.zeros(8, np.uint8))
+
+
+class TestNoiseEstDevice:
+    @pytest.mark.parametrize("transposed", [False, True])
+    def test_vs_host(self, ctx, transposed):
+        shape = (367, 93)
+        rs = np.random.RandomState(seed=2)
+        deviations = np.abs(rs.standard_normal(shape)).astype(np.float32)
+        # plant some exact zeros (excluded from the median)
+        deviations[rs.random_sample(shape) < 0.05] = 0.0
+        if transposed:
+            template = device.NoiseEstMADTDeviceTemplate(ctx, 1024)
+        else:
+            template = device.NoiseEstMADDeviceTemplate(ctx)
+        out_host = template.host_class()(deviations)
+        out_device = device.NoiseEstHostFromDevice(template)(deviations)
+        np.testing.assert_allclose(out_host, out_device, rtol=1e-5)
+
+    def test_max_channels(self, ctx):
+        template = device.NoiseEstMADTDeviceTemplate(ctx, 64)
+        with pytest.raises(ValueError):
+            template.instantiate(None, 128, 4)
+
+
+class TestThresholdDevice:
+    @pytest.mark.parametrize("transposed", [False, True])
+    def test_simple_vs_host(self, ctx, transposed):
+        shape = (223, 131)
+        rs = np.random.RandomState(seed=3)
+        deviations = np.abs(rs.standard_normal(shape)).astype(np.float32)
+        noise = (rs.uniform(0.5, 1.5, shape[1])).astype(np.float32)
+        template = device.ThresholdSimpleDeviceTemplate(ctx, transposed, flag_value=4)
+        out_host = template.host_class(3.0, flag_value=4)(deviations, noise)
+        out_device = device.ThresholdHostFromDevice(template, n_sigma=3.0)(deviations, noise)
+        np.testing.assert_equal(out_host, out_device)
+
+    @pytest.mark.parametrize("n_windows", [1, 2, 4])
+    def test_sum_vs_host(self, ctx, n_windows):
+        shape = (500, 37)
+        rs = np.random.RandomState(seed=4)
+        deviations = rs.standard_normal(shape).astype(np.float32)
+        # plant spikes (isolated and runs) to exercise every window size
+        deviations[100, :] += 50.0
+        deviations[200:204, 5:9] += 20.0
+        deviations[300:316, 11] += 8.0
+        noise = np.full(shape[1], 1.0, np.float32)
+        template = device.ThresholdSumDeviceTemplate(ctx, n_windows, flag_value=2)
+        out_host = template.host_class(4.5, n_windows, flag_value=2)(deviations, noise)
+        out_device = device.ThresholdHostFromDevice(template, n_sigma=4.5)(deviations, noise)
+        np.testing.assert_equal(out_host, out_device)
+
+
+class TestFlaggerDevice:
+    @pytest.mark.parametrize(
+        "use_flags",
+        [device.BackgroundFlags.NONE, device.BackgroundFlags.CHANNEL, device.BackgroundFlags.FULL],
+    )
+    @pytest.mark.parametrize("transpose_noise_est", [False, True])
+    @pytest.mark.parametrize("threshold_kind", ["simple", "simple_t", "sum"])
+    def test_spike_recovery(self, ctx, use_flags, transpose_noise_est, threshold_kind):
+        vis, spikes, input_flags = rfi_test_data()
+        background = device.BackgroundMedianFilterDeviceTemplate(ctx, 13, use_flags=use_flags)
+        if transpose_noise_est:
+            noise_est = device.NoiseEstMADTDeviceTemplate(ctx, 1024)
+        else:
+            noise_est = device.NoiseEstMADDeviceTemplate(ctx)
+        if threshold_kind == "sum":
+            threshold = device.ThresholdSumDeviceTemplate(ctx)
+        else:
+            threshold = device.ThresholdSimpleDeviceTemplate(
+                ctx, transposed=threshold_kind == "simple_t"
+            )
+        flagger_template = device.FlaggerDeviceTemplate(background, noise_est, threshold)
+        flagger = device.FlaggerHostFromDevice(
+            flagger_template, threshold_args=dict(n_sigma=11.0)
+        )
+        if use_flags == device.BackgroundFlags.CHANNEL:
+            flags = flagger(vis, input_flags[:, 0])
+            bcast = np.broadcast_to(input_flags[:, 0:1], vis.shape)
+            expected = np.where(bcast, 0, spikes)
+        elif use_flags == device.BackgroundFlags.FULL:
+            flags = flagger(vis, input_flags)
+            expected = np.where(input_flags, 0, spikes)
+        else:
+            flags = flagger(vis)
+            expected = spikes
+        if threshold_kind == "sum":
+            # SumThreshold smears flags: every expected spike must be found
+            assert (flags[expected.astype(bool)] != 0).all()
+        else:
+            np.testing.assert_equal(expected, flags)
+
+    def test_vs_full_host_flagger(self, ctx):
+        """Device pipeline vs host pipeline, stage-identical configuration."""
+        vis, _, _ = rfi_test_data(shape=(229, 57), seed=7)
+        host_flagger = host.FlaggerHost(
+            host.BackgroundMedianFilterHost(13),
+            host.NoiseEstMADHost(),
+            host.ThresholdSumHost(11.0),
+        )
+        device_flagger = device.FlaggerHostFromDevice(
+            device.FlaggerDeviceTemplate(
+                device.BackgroundMedianFilterDeviceTemplate(ctx, 13),
+                device.NoiseEstMADTDeviceTemplate(ctx, 1024),
+                device.ThresholdSumDeviceTemplate(ctx),
+            ),
+            threshold_args=dict(n_sigma=11.0),
+        )
+        np.testing.assert_equal(host_flagger(vis), device_flagger(vis))
