@@ -1,3 +1,5 @@
 """Device-mesh sharding and collective reductions (multi-chip capability)."""
 
-__all__: list = []
+from . import collectives, flagger, mesh  # noqa: F401
+
+__all__ = ["collectives", "flagger", "mesh"]
