@@ -10,5 +10,7 @@ a TPU device pipeline, and the 2-D time–frequency SumThreshold flagger.
 MAD_NORMAL = 1.4826
 
 from . import host  # noqa: E402,F401
+from . import device  # noqa: E402,F401
+from . import twodflag  # noqa: E402,F401
 
-__all__ = ["MAD_NORMAL", "host"]
+__all__ = ["MAD_NORMAL", "host", "device", "twodflag"]
