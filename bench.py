@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Headline benchmark: MeerKAT-scale RFI flagging throughput on one chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The metric is visibilities flagged per second per chip on the full fused
+pipeline (background median filter width 13 → MAD noise → 4-window
+SumThreshold) at 2016 baselines × 32768 channels complex64 — BASELINE.json's
+headline configuration.  ``vs_baseline`` is the achieved fraction of the
+BASELINE.md target (80% of the HBM roofline for the pipeline's minimum
+traffic: 8 B/vis read + 1 B/vis flag write at the chip's HBM bandwidth).
+
+Mask parity vs the host oracle is asserted on a subsampled block before
+timing; diagnostics go to stderr, the JSON line to stdout.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+# Published peak HBM bandwidth per chip, GB/s (TPU v5e: 819 GB/s).
+HBM_GBPS = {
+    "TPU v5 lite": 819.0,
+    "TPU v5e": 819.0,
+    "TPU v4": 1228.0,
+    "TPU v5p": 2765.0,
+    "TPU v6e": 1640.0,
+}
+DEFAULT_HBM_GBPS = 819.0
+BYTES_PER_VIS = 8 + 1  # complex64 read + uint8 flag write
+TARGET_FRACTION = 0.8  # BASELINE.md: ≥80% of HBM roofline
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--channels", type=int, default=32768)
+    parser.add_argument("--baselines", type=int, default=2016)
+    parser.add_argument("--width", type=int, default=13)
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--skip-parity", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from katsdpsigproc_tpu.models.rfi import device as rfi_device, host as rfi_host
+
+    device = jax.devices()[0]
+    log(f"device: {device} ({device.device_kind})")
+    hbm = next((v for k, v in HBM_GBPS.items() if k in device.device_kind), DEFAULT_HBM_GBPS)
+
+    rs = np.random.RandomState(seed=1)
+    shape = (args.channels, args.baselines)
+    vis_np = (rs.standard_normal(shape) + 1j * rs.standard_normal(shape)).astype(np.complex64)
+    # Plant spikes so the parity check is meaningful
+    spikes = rs.random_sample(shape) < 1.0 / 64.0
+    vis_np += spikes * (rs.random_sample(shape) * 20.0 + 50.0)
+
+    fn = rfi_device.make_flagger_fn(args.width, 11.0, threshold="sum")
+
+    # ---- parity check on a subsampled block (vs host oracle) -------------
+    if not args.skip_parity:
+        sub = (slice(0, min(512, args.channels)), slice(0, min(64, args.baselines)))
+        sub_vis = vis_np[sub]
+        got = np.asarray(fn(jnp.asarray(sub_vis)))
+        host_flagger = rfi_host.FlaggerHost(
+            rfi_host.BackgroundMedianFilterHost(args.width),
+            rfi_host.NoiseEstMADHost(),
+            rfi_host.ThresholdSumHost(11.0),
+        )
+        expected = host_flagger(sub_vis)
+        mismatches = int((got != expected).sum())
+        log(f"parity: {mismatches} mismatching flags of {expected.size}")
+        if mismatches:
+            raise SystemExit("mask parity FAILED")
+
+    # ---- timing ----------------------------------------------------------
+    vis = jnp.asarray(vis_np)
+    out = jax.block_until_ready(fn(vis))  # compile + warm
+    n_vis = args.channels * args.baselines
+    times = []
+    for _ in range(args.iters):
+        start = time.perf_counter()
+        out = fn(vis)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - start)
+    dt = float(np.median(times))
+    value = n_vis / dt
+    roofline = hbm * 1e9 / BYTES_PER_VIS
+    vs_baseline = value / (TARGET_FRACTION * roofline)
+    log(
+        f"median {dt * 1e3:.3f} ms over {args.iters} iters; "
+        f"{value / 1e9:.2f} Gvis/s; roofline {roofline / 1e9:.1f} Gvis/s "
+        f"({value / roofline * 100:.1f}% of speed of light)"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "rfi_flagger_visibilities_per_second_per_chip",
+                "value": value,
+                "unit": "vis/s",
+                "vs_baseline": vs_baseline,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Masked-sum benchmark + parity vs numpy (reference:
+scripts/maskedsumtest.py:26-45 — 4000×5000 complex64; use
+--amplitudes for the maskedsumabstest variant)."""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--rows", type=int, default=4000)
+    parser.add_argument("--cols", type=int, default=5000)
+    parser.add_argument("--amplitudes", action="store_true")
+    parser.add_argument("--iters", type=int, default=10)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from katsdpsigproc_tpu.ops import maskedsum
+    from katsdpsigproc_tpu.utils import backend
+
+    ctx = backend.create_some_context()
+    rs = np.random.RandomState(seed=1)
+    src = (rs.standard_normal((args.rows, args.cols))
+           + 1j * rs.standard_normal((args.rows, args.cols))).astype(np.complex64)
+    mask = rs.uniform(size=(args.rows,)).astype(np.float32)
+    template = maskedsum.MaskedSumTemplate(ctx, args.amplitudes)
+    op = template.instantiate(None, src.shape)
+    v, m = jnp.asarray(src), jnp.asarray(mask)
+    out = np.asarray(jax.block_until_ready(op(src=v, mask=m)["dest"]))
+
+    start = time.perf_counter()
+    if args.amplitudes:
+        expected = (mask[:, None] * np.abs(src)).sum(axis=0)
+    else:
+        expected = (mask[:, None] * src).sum(axis=0)
+    print(f"numpy: {(time.perf_counter() - start) * 1e3:.1f} ms", file=sys.stderr)
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-3)
+
+    times = []
+    for _ in range(args.iters):
+        start = time.perf_counter()
+        jax.block_until_ready(op(src=v, mask=m)["dest"])
+        times.append(time.perf_counter() - start)
+    print(f"device: {float(np.median(times)) * 1e3:.3f} ms/iter", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Percentile benchmark + parity vs numpy (reference:
+scripts/percentiletest.py:29-44 — 4000×5000 float32, exact match against
+np.percentile 'lower')."""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--rows", type=int, default=4000)
+    parser.add_argument("--cols", type=int, default=5000)
+    parser.add_argument("--engine", choices=["rank", "sort"], default="rank")
+    parser.add_argument("--iters", type=int, default=5)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from katsdpsigproc_tpu.ops import percentile
+    from katsdpsigproc_tpu.utils import backend
+
+    ctx = backend.create_some_context()
+    rs = np.random.RandomState(seed=1)
+    src = np.abs(rs.standard_normal((args.rows, args.cols))).astype(np.float32)
+    template = percentile.Percentile5Template(
+        ctx, args.cols, True, tuning={"engine": args.engine}
+    )
+    op = template.instantiate(None, src.shape)
+    v = jnp.asarray(src)
+    out = np.asarray(jax.block_until_ready(op(src=v)["dest"]))
+
+    start = time.perf_counter()
+    expected = np.r_[
+        [np.min(src, axis=1), np.max(src, axis=1)],
+        np.percentile(src, [25, 75, 50], axis=1, method="lower"),
+    ].astype(np.float32)
+    print(f"numpy: {(time.perf_counter() - start) * 1e3:.1f} ms", file=sys.stderr)
+    np.testing.assert_equal(out, expected)
+    print("exact match vs np.percentile(..., 'lower')", file=sys.stderr)
+
+    times = []
+    for _ in range(args.iters):
+        start = time.perf_counter()
+        jax.block_until_ready(op(src=v)["dest"])
+        times.append(time.perf_counter() - start)
+    print(f"device: {float(np.median(times)) * 1e3:.3f} ms/iter", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

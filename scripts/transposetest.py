@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Transpose benchmark (reference: scripts/transposetest.py:11-25 —
+3072×8320 complex64)."""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--rows", type=int, default=3072)
+    parser.add_argument("--cols", type=int, default=8320)
+    parser.add_argument("--engine", choices=["xla", "pallas"], default="xla")
+    parser.add_argument("--iters", type=int, default=10)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from katsdpsigproc_tpu.ops import transpose
+    from katsdpsigproc_tpu.utils import backend
+
+    ctx = backend.create_some_context()
+    template = transpose.TransposeTemplate(
+        ctx, np.complex64, tuning={"engine": args.engine, "tile_r": 256, "tile_c": 256}
+    )
+    op = template.instantiate(None, (args.rows, args.cols))
+    rs = np.random.RandomState(seed=1)
+    src = (rs.standard_normal((args.rows, args.cols))
+           + 1j * rs.standard_normal((args.rows, args.cols))).astype(np.complex64)
+    v = jnp.asarray(src)
+    out = jax.block_until_ready(op(src=v)["dest"])
+    np.testing.assert_array_equal(np.asarray(out)[:8, :8], src.T[:8, :8])
+    times = []
+    for _ in range(args.iters):
+        start = time.perf_counter()
+        jax.block_until_ready(op(src=v)["dest"])
+        times.append(time.perf_counter() - start)
+    dt = float(np.median(times))
+    nbytes = 2 * src.nbytes
+    print(f"{dt * 1e3:.3f} ms/iter, {nbytes / dt / 1e9:.1f} GB/s effective", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
