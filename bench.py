@@ -67,10 +67,12 @@ def main():
     fn = rfi_device.make_flagger_fn(args.width, 11.0, threshold="sum")
 
     # ---- parity check on a subsampled block (vs host oracle) -------------
+    # TPU path uses the planar (re, im) float32 layout (no complex dtype on
+    # TPU backends); the host oracle consumes complex64.
     if not args.skip_parity:
         sub = (slice(0, min(512, args.channels)), slice(0, min(64, args.baselines)))
         sub_vis = vis_np[sub]
-        got = np.asarray(fn(jnp.asarray(sub_vis)))
+        got = np.asarray(fn(jnp.asarray(rfi_device.to_planar(sub_vis))))
         host_flagger = rfi_host.FlaggerHost(
             rfi_host.BackgroundMedianFilterHost(args.width),
             rfi_host.NoiseEstMADHost(),
@@ -83,7 +85,7 @@ def main():
             raise SystemExit("mask parity FAILED")
 
     # ---- timing ----------------------------------------------------------
-    vis = jnp.asarray(vis_np)
+    vis = jnp.asarray(rfi_device.to_planar(vis_np))
     out = jax.block_until_ready(fn(vis))  # compile + warm
     n_vis = args.channels * args.baselines
     times = []

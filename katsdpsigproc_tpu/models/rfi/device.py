@@ -84,19 +84,46 @@ def masked_median_filter(amp, width: int):
     return jnp.where(n > 0, med, jnp.nan), n
 
 
+def amplitude(vis):
+    """|vis| for complex or planar (trailing-pair float32) visibilities.
+
+    TPU backends have no complex dtype support, so the TPU-native layout
+    for complex visibilities is *split-complex*: a trailing length-2
+    float32 axis (re, im) — the layout the VPU vectorizes best.  Complex
+    input is accepted for CPU/test use.
+    """
+    if jnp.issubdtype(vis.dtype, jnp.complexfloating):
+        return jnp.abs(vis).astype(jnp.float32)
+    if vis.shape[-1] == 2 and not jnp.issubdtype(vis.dtype, jnp.complexfloating):
+        re = vis[..., 0].astype(jnp.float32)
+        im = vis[..., 1].astype(jnp.float32)
+        return jnp.sqrt(re * re + im * im)
+    raise TypeError("expected complex input or a trailing (re, im) pair axis")
+
+
+def to_planar(vis):
+    """Convert a complex numpy/JAX array to the planar (…, 2) float32 layout."""
+    import numpy as np
+
+    if isinstance(vis, np.ndarray):
+        return np.stack([vis.real.astype(np.float32), vis.imag.astype(np.float32)], axis=-1)
+    return jnp.stack([vis.real.astype(jnp.float32), vis.imag.astype(jnp.float32)], axis=-1)
+
+
 def background_median_filter(vis, flags, width: int, is_amplitude: bool, use_flags: BackgroundFlags):
     """Deviations from a windowed-median background (channels, baselines).
 
     Semantics follow the reference kernel (background_median_filter.mako):
     flagged inputs (and, for amplitude input, negative values) are excluded
     from the median and map to 0 in the output; the output elsewhere is
-    ``amp - median(valid window)``.
+    ``amp - median(valid window)``.  Complex visibilities may be passed as
+    complex64 or in the planar (channels, baselines, 2) float32 layout.
     """
     if is_amplitude:
         amp = vis.astype(jnp.float32)
         invalid = amp < 0
     else:
-        amp = jnp.abs(vis).astype(jnp.float32)
+        amp = amplitude(vis)
         invalid = jnp.zeros(amp.shape, bool)
     if use_flags == BackgroundFlags.CHANNEL:
         invalid = invalid | (flags != 0)[:, None]
@@ -208,10 +235,11 @@ def make_flagger_fn(
         return jax.jit(block_fn)
 
     def blocked(vis, input_flags=None):
-        c, b = vis.shape
+        c, b = vis.shape[:2]
+        pair = vis.shape[2:]  # () for complex/amplitude, (2,) for planar
         nb = b // baseline_block
         main = vis[:, : nb * baseline_block]
-        blocks = jnp.moveaxis(main.reshape(c, nb, baseline_block), 1, 0)
+        blocks = jnp.moveaxis(main.reshape((c, nb, baseline_block) + pair), 1, 0)
         per_block_flags = None
         if use_flags == BackgroundFlags.FULL and input_flags is not None:
             f_main = input_flags[:, : nb * baseline_block]

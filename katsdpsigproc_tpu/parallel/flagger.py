@@ -65,7 +65,6 @@ def make_sharded_flagger(
     edge = (1 << n_windows) - n_windows - 1  # reference EDGE_SIZE
 
     c_axis = CHANNEL_AXIS if has_channel else None
-    vis_spec = P(c_axis, BASELINE_AXIS)
     if use_flags == rfi_device.BackgroundFlags.CHANNEL:
         flag_spec: Optional[P] = P(c_axis)
     elif use_flags == rfi_device.BackgroundFlags.FULL:
@@ -79,7 +78,8 @@ def make_sharded_flagger(
             amp = vis.astype(jnp.float32)
             invalid = amp < 0
         else:
-            amp = jnp.abs(vis).astype(jnp.float32)
+            # complex64 (CPU/tests) or planar (C, B, 2) float32 (TPU layout)
+            amp = rfi_device.amplitude(vis)
             invalid = jnp.zeros(amp.shape, bool)
         if use_flags == rfi_device.BackgroundFlags.CHANNEL:
             invalid = invalid | (input_flags != 0)[:, None]
@@ -126,13 +126,14 @@ def make_sharded_flagger(
                 )
         return jnp.swapaxes(flags_t, 0, 1)
 
-    def build(n_channels_global):
+    def build(n_channels_global, planar: bool):
+        vis_spec = P(c_axis, BASELINE_AXIS, None) if planar else P(c_axis, BASELINE_AXIS)
         in_specs = [vis_spec] + ([flag_spec] if flag_spec is not None else [])
         fn = shard_map(
             functools.partial(local_flag, n_channels_global),
             mesh=mesh,
             in_specs=tuple(in_specs),
-            out_specs=vis_spec,
+            out_specs=P(c_axis, BASELINE_AXIS),
             check_rep=False,
         )
         return jax.jit(fn)
@@ -140,15 +141,16 @@ def make_sharded_flagger(
     cache = {}
 
     def flagger(vis, input_flags=None):
-        n_channels = vis.shape[0]
-        if n_channels not in cache:
-            cache[n_channels] = build(n_channels)
+        planar = not is_amplitude and vis.ndim == 3
+        key = (vis.shape[0], planar)
+        if key not in cache:
+            cache[key] = build(vis.shape[0], planar)
         if flag_spec is not None:
             if input_flags is None:
                 raise TypeError("flags were expected but not provided")
-            return cache[n_channels](vis, input_flags)
+            return cache[key](vis, input_flags)
         if input_flags is not None:
             raise TypeError("flags were provided but not included in the template")
-        return cache[n_channels](vis)
+        return cache[key](vis)
 
     return flagger

@@ -158,6 +158,32 @@ class TestFlaggerDevice:
         else:
             np.testing.assert_equal(expected, flags)
 
+    def test_planar_layout_matches_complex(self, ctx):
+        """The TPU split-complex layout must give identical flags."""
+        vis, _, _ = rfi_test_data(shape=(229, 57), seed=9)
+        import jax.numpy as jnp
+
+        fn = device.make_flagger_fn(13, 11.0, threshold="sum")
+        out_c = np.asarray(fn(jnp.asarray(vis)))
+        out_p = np.asarray(fn(jnp.asarray(device.to_planar(vis))))
+        np.testing.assert_equal(out_c, out_p)
+
+    def test_make_flagger_fn_baseline_block(self, ctx):
+        vis, _, _ = rfi_test_data(shape=(128, 48), seed=10)
+        import jax.numpy as jnp
+
+        full = device.make_flagger_fn(13, 11.0)
+        blocked = device.make_flagger_fn(13, 11.0, baseline_block=16)
+        np.testing.assert_equal(
+            np.asarray(full(jnp.asarray(vis))), np.asarray(blocked(jnp.asarray(vis)))
+        )
+        # Planar input with a non-dividing tail
+        blocked20 = device.make_flagger_fn(13, 11.0, baseline_block=20)
+        np.testing.assert_equal(
+            np.asarray(full(jnp.asarray(vis))),
+            np.asarray(blocked20(jnp.asarray(device.to_planar(vis)))),
+        )
+
     def test_vs_full_host_flagger(self, ctx):
         """Device pipeline vs host pipeline, stage-identical configuration."""
         vis, _, _ = rfi_test_data(shape=(229, 57), seed=7)
