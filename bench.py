@@ -17,10 +17,16 @@ timing; diagnostics go to stderr, the JSON line to stdout.
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent compilation cache: repeat bench runs skip the (slow) TPU
+# compile entirely.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 # Published peak HBM bandwidth per chip, GB/s (TPU v5e: 819 GB/s).
 HBM_GBPS = {

@@ -68,18 +68,42 @@ def masked_median_filter(amp, width: int):
     windows with no valid samples.  Matches the reference's sliding filter
     semantics (background_median_filter.mako:96-145): even valid counts
     average the two middle values.
+
+    Selection is by **compare-count ranking**, not sorting: for each of the
+    `width` window members, its stable rank among the valid members is the
+    count of pairwise wins (ties broken by window position).  The two
+    middle elements are then picked by rank-match-and-sum.  This is
+    O(width²) pairwise compares per output, but every term is a shifted
+    elementwise op that XLA fuses into one VPU loop — nothing the size of
+    the window stack ever reaches HBM (a sort would materialize
+    ``width`` full copies; on a 2016×32k dump that is >100 GB of traffic).
     """
     h = width // 2
     c = amp.shape[0]
     padded = jnp.pad(amp, ((h, h),) + ((0, 0),) * (amp.ndim - 1), constant_values=jnp.nan)
-    # (width, channels, ...) window stack; lanes/sublanes untouched.
-    windows = jnp.stack([padded[k : k + c] for k in range(width)], axis=0)
-    n = jnp.sum(~jnp.isnan(windows), axis=0, dtype=jnp.int32)
-    s = jnp.sort(jnp.where(jnp.isnan(windows), jnp.inf, windows), axis=0)
-    lo = jnp.clip((n - 1) // 2, 0, width - 1)
-    hi = jnp.clip(n // 2, 0, width - 1)
-    v_lo = jnp.take_along_axis(s, lo[None], axis=0)[0]
-    v_hi = jnp.take_along_axis(s, hi[None], axis=0)[0]
+    win = [padded[k : k + c] for k in range(width)]
+    nan = [jnp.isnan(w) for w in win]
+    n = sum((~m).astype(jnp.int32) for m in nan)
+    lo = (n - 1) // 2
+    hi = n // 2
+    zero = jnp.zeros(amp.shape, amp.dtype)
+    v_lo = zero
+    v_hi = zero
+    for j in range(width):
+        # Stable rank of win[j] among valid members: NaN comparisons are
+        # False, so invalid members never count; ties go to the earlier
+        # position.  NaN members get rank n (never selected).
+        r = jnp.zeros(amp.shape, jnp.int32)
+        for k in range(width):
+            if k == j:
+                continue
+            if k < j:
+                r = r + (win[k] <= win[j])
+            else:
+                r = r + (win[k] < win[j])
+        vj = jnp.where(nan[j], 0.0, win[j])
+        v_lo = v_lo + jnp.where(~nan[j] & (r == lo), vj, 0.0)
+        v_hi = v_hi + jnp.where(~nan[j] & (r == hi), vj, 0.0)
     med = (v_lo + v_hi) * 0.5
     return jnp.where(n > 0, med, jnp.nan), n
 

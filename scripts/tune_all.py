@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Offline tuner: populate the static tuning table for this device.
+
+Runs every template's measured autotune search (the reference equivalent is
+the implicit first-use tuning + sqlite cache, tune.py:254-280) for the
+standard benchmark configurations and merges the results into the in-repo
+table ``katsdpsigproc_tpu/utils/tuning_table.json``.
+
+Run on real hardware:  python scripts/tune_all.py
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp_cache"))
+
+
+def main():
+    from katsdpsigproc_tpu.ops import maskedsum, percentile, transpose
+    from katsdpsigproc_tpu.utils import backend, tune
+
+    ctx = backend.create_some_context()
+    print(f"tuning for {ctx.device} ({ctx.device_kind})", file=sys.stderr)
+
+    results = []
+
+    def run(label, fn):
+        try:
+            out = fn()
+            print(f"{label}: {out}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            print(f"{label}: FAILED {exc}", file=sys.stderr)
+
+    # Force real searches and capture what they store in the user DB.
+    tmp_db = os.path.join(os.path.dirname(__file__), "..", ".tune_scratch.json")
+    os.environ["KATSDPSIGPROC_TPU_TUNE_DB"] = tmp_db
+    if os.path.exists(tmp_db):
+        os.unlink(tmp_db)
+
+    run("transpose f32", lambda: transpose.TransposeTemplate(ctx, np.float32).engine)
+    run("percentile 5000", lambda: percentile.Percentile5Template(ctx, 5000, True).engine)
+    run("maskedsum", lambda: maskedsum.MaskedSumTemplate(ctx).size)
+
+    # Merge scratch DB into the shipped table
+    table_path = os.path.join(
+        os.path.dirname(__file__), "..", "katsdpsigproc_tpu", "utils", "tuning_table.json"
+    )
+    new = json.load(open(tmp_db)) if os.path.exists(tmp_db) else []
+    old = json.load(open(table_path)) if os.path.exists(table_path) else []
+    key_fields = ("fn", "version", "platform", "device_kind", "args")
+    merged = {tuple(r.get(k) for k in key_fields): r for r in old}
+    merged.update({tuple(r.get(k) for k in key_fields): r for r in new})
+    with open(table_path, "w") as f:
+        json.dump(sorted(merged.values(), key=lambda r: (r["fn"], r["args"])), f, indent=1)
+    print(f"wrote {len(merged)} records to {table_path}", file=sys.stderr)
+    if os.path.exists(tmp_db):
+        os.unlink(tmp_db)
+
+
+if __name__ == "__main__":
+    main()
