@@ -1,0 +1,223 @@
+"""Fused single-kernel RFI flagger (Pallas).
+
+The performance path for the headline benchmark (BASELINE.md): the whole
+pipeline — amplitude, masked windowed-median background, MAD noise
+estimate, SumThreshold — runs in **one Pallas kernel** per block of
+baselines, with every intermediate resident in VMEM.  HBM traffic is the
+pipeline's information-theoretic minimum: one read of the visibilities
+(8 B/vis) plus one write of the flags (1 B/vis).
+
+Contrast with the reference, which launches five kernels with every
+intermediate round-tripping through global memory
+(rfi/device.py:1135-1164), and with the XLA path
+(:func:`katsdpsigproc_tpu.models.rfi.device.make_flagger_fn`), where the
+per-baseline noise reduction and the background filter compile to separate
+fusions with HBM-materialized deviations.
+
+Layout: **baseline-major planar** — ``vis_t`` is (baselines, channels, 2)
+float32 (split-complex; TPU backends have no complex dtype) and flags
+come back (baselines, channels) uint8.  Baseline-major puts the channel
+axis on vector lanes, which is what every stage wants: the median window
+is a lane shift, the rank searches reduce along lanes, and SumThreshold's
+window sums are lane shifts.  (The reference reaches the same conclusion
+for its noise/threshold stages — the "transposed" variants,
+rfi/device.py:366,482-488.)
+
+Algorithms (identical semantics to the host oracle / jnp path):
+
+* background median: compare-count selection over the ``width`` shifted
+  window members, out-of-band members +inf with a positional valid count
+  (background_median_filter.mako:96-145 semantics);
+* MAD noise: the reference's bitwise IEEE-754 binary search
+  (rank.mako:186-231, madnz_t.mako:72-87) along lanes;
+* SumThreshold: full-window shifted sums + boolean dilation
+  (host.py ThresholdSumHost semantics; cf. threshold_sum.mako:49-132).
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+
+    _VMEM = pltpu.VMEM
+except ImportError:  # pragma: nocover
+    pltpu = None
+    _VMEM = None
+
+from . import MAD_NORMAL
+
+_INF = np.float32(np.inf)  # python scalar: becomes a kernel literal, not a captured const
+
+
+def _median_filter_tile(amp, s: int, tc: int, width: int, channels: int):
+    """Masked windowed median for output columns [s, s+tc) of (bb, C) `amp`.
+
+    Members outside [0, channels) are +inf and excluded from the valid
+    count; compare-count selection with positional tie-break picks the two
+    middle valid members (averaged for even counts).
+    """
+    h = width // 2
+    bb = amp.shape[0]
+
+    def member(d):
+        lo_raw = s + d
+        hi_raw = s + tc + d
+        lo = max(0, lo_raw)
+        hi = min(channels, hi_raw)
+        pad_left = lo - lo_raw
+        pad_right = hi_raw - hi
+        sl = amp[:, lo:hi] if (lo, hi) != (0, channels) else amp
+        if pad_left or pad_right:
+            sl = jnp.pad(sl, ((0, 0), (pad_left, pad_right)), constant_values=_INF)
+        return sl
+
+    win = [member(d) for d in range(-h, h + 1)]
+    col = lax.broadcasted_iota(jnp.int32, (bb, tc), 1) + s
+    n = jnp.zeros((bb, tc), jnp.int32)
+    for d in range(-h, h + 1):
+        valid = (col + d >= 0) & (col + d < channels)
+        n = n + valid.astype(jnp.int32)
+    lo_rank = (n - 1) // 2
+    hi_rank = n // 2
+    v_lo = jnp.zeros((bb, tc), jnp.float32)
+    v_hi = jnp.zeros((bb, tc), jnp.float32)
+    for j in range(width):
+        r = jnp.zeros((bb, tc), jnp.int32)
+        for k in range(width):
+            if k == j:
+                continue
+            if k < j:
+                r = r + (win[k] <= win[j]).astype(jnp.int32)
+            else:
+                r = r + (win[k] < win[j]).astype(jnp.int32)
+        vj = jnp.where(win[j] == _INF, 0.0, win[j])
+        v_lo = v_lo + jnp.where(r == lo_rank, vj, 0.0)
+        v_hi = v_hi + jnp.where(r == hi_rank, vj, 0.0)
+    return (v_lo + v_hi) * jnp.float32(0.5)
+
+
+def _madnz_rows(absdev, channels: int):
+    """MAD of non-zero |deviations| per row of (bb, C) — bitwise rank search."""
+    zeros = jnp.sum((absdev == 0).astype(jnp.int32), axis=1, keepdims=True)
+    rank2 = channels + zeros
+    target = rank2 // 2
+    halfway = (rank2 & 1) == 0
+
+    def body(i, cur):
+        test = cur | (jnp.int32(1) << (30 - i))
+        cand = lax.bitcast_convert_type(test, jnp.float32)
+        r = jnp.sum((absdev < cand).astype(jnp.int32), axis=1, keepdims=True)
+        return jnp.where(r <= target, test, cur)
+
+    cur = lax.fori_loop(0, 31, body, jnp.zeros(target.shape, jnp.int32))
+    result = lax.bitcast_convert_type(cur, jnp.float32)
+    r = jnp.sum((absdev < result).astype(jnp.int32), axis=1, keepdims=True)
+    prev = jnp.max(jnp.where(absdev < result, absdev, 0.0), axis=1, keepdims=True)
+    med = jnp.where(halfway & (r == target), (result + prev) * 0.5, result)
+    return jnp.float32(MAD_NORMAL) * med  # (bb, 1)
+
+
+def _roll(x, shift: int, axis: int, interpret: bool):
+    """Lane roll: pltpu.roll on hardware, jnp.roll in interpret mode."""
+    if interpret or pltpu is None:
+        return jnp.roll(x, shift, axis)
+    return pltpu.roll(x, shift, axis)
+
+
+def _threshold_sum_rows(dev, noise, channels: int, n_sigma, n_windows: int, falloff,
+                        interpret: bool = False):
+    """SumThreshold along lanes of (bb, C); returns bool flags."""
+    col = lax.broadcasted_iota(jnp.int32, dev.shape, 1)
+    flags = jnp.zeros(dev.shape, bool)
+    base_threshold = (jnp.float32(n_sigma) * noise).astype(jnp.float32)  # (bb, 1)
+    for w in range(n_windows):
+        window = 1 << w
+        if window > channels:
+            break
+        threshold = base_threshold * jnp.float32(falloff**-w)
+        clamped = jnp.where(flags, threshold, dev)
+        # sums[k] = sum(clamped[k : k + window]); valid for k <= C - window
+        sums = clamped
+        for j in range(1, window):
+            sums = sums + _roll(clamped, -j, 1, interpret)
+        sum_flags = (sums > threshold * window) & (col <= channels - window)
+        new_flags = sum_flags
+        for j in range(1, window):
+            # wrapped entries come from k > C - window, already masked False
+            new_flags = new_flags | _roll(sum_flags, j, 1, interpret)
+        flags = flags | new_flags
+    return flags
+
+
+def _flagger_kernel(vis_ref, flags_ref, *, width: int, n_sigma: float, n_windows: int,
+                    falloff: float, flag_value: int, channels: int, tile: int,
+                    interpret: bool = False):
+    re = vis_ref[:, :, 0]
+    im = vis_ref[:, :, 1]
+    amp = jnp.sqrt(re * re + im * im)  # (bb, C)
+
+    # Background median filter, tile by tile along the lane axis.
+    parts = []
+    for s in range(0, channels, tile):
+        tc = min(tile, channels - s)
+        med = _median_filter_tile(amp, s, tc, width, channels)
+        parts.append(amp[:, s : s + tc] - med)
+    dev = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+    noise = _madnz_rows(jnp.abs(dev), channels)
+    flags = _threshold_sum_rows(dev, noise, channels, n_sigma, n_windows, falloff, interpret)
+    flags_ref[:, :] = jnp.where(flags, jnp.uint8(flag_value), jnp.uint8(0))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "n_sigma", "n_windows", "falloff", "flag_value", "bb", "tile",
+                     "interpret"),
+)
+def flag_transposed(vis_t, width: int = 13, n_sigma: float = 11.0, n_windows: int = 4,
+                    falloff: float = 1.2, flag_value: int = 1, bb: int = 8,
+                    tile: int = 2048, interpret: bool = False):
+    """Fused flagger on baseline-major planar visibilities.
+
+    Parameters
+    ----------
+    vis_t
+        (baselines, channels, 2) float32 split-complex visibilities.
+    bb
+        Baselines per grid step (VMEM budget knob; the tuning dimension).
+    tile
+        Lane-tile width for the median filter stage.
+
+    Returns
+    -------
+    (baselines, channels) uint8 flags.
+    """
+    baselines, channels = vis_t.shape[0], vis_t.shape[1]
+    if baselines % bb:
+        raise ValueError(f"baselines ({baselines}) must divide by bb ({bb})")
+    kernel = functools.partial(
+        _flagger_kernel,
+        width=width,
+        n_sigma=n_sigma,
+        n_windows=n_windows,
+        falloff=falloff,
+        flag_value=flag_value,
+        channels=channels,
+        tile=min(tile, channels),
+        interpret=interpret,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(baselines // bb,),
+        in_specs=[pl.BlockSpec((bb, channels, 2), lambda i: (i, 0, 0), memory_space=_VMEM)],
+        out_specs=pl.BlockSpec((bb, channels), lambda i: (i, 0), memory_space=_VMEM),
+        out_shape=jax.ShapeDtypeStruct((baselines, channels), jnp.uint8),
+        interpret=interpret,
+    )(vis_t)

@@ -1,0 +1,45 @@
+"""Fused Pallas flagger vs the host oracle (interpret mode on CPU;
+the compiled path runs in the TPU benchmark)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from katsdpsigproc_tpu.models.rfi import device as rfi_device, host as rfi_host, pallas_flagger
+
+from ..helpers import rfi_test_data
+
+
+@pytest.mark.parametrize("channels,baselines", [(128, 16), (300, 8)])
+def test_matches_host_oracle(channels, baselines):
+    vis, spikes, _ = rfi_test_data(shape=(channels, baselines), seed=3)
+    vis_t = np.moveaxis(rfi_device.to_planar(vis), 0, 1)  # (B, C, 2)
+    out_t = np.asarray(
+        pallas_flagger.flag_transposed(
+            jnp.asarray(vis_t), width=13, n_sigma=11.0, bb=baselines, tile=128, interpret=True
+        )
+    )
+    host_flagger = rfi_host.FlaggerHost(
+        rfi_host.BackgroundMedianFilterHost(13),
+        rfi_host.NoiseEstMADHost(),
+        rfi_host.ThresholdSumHost(11.0),
+    )
+    expected = host_flagger(vis)
+    np.testing.assert_equal(out_t.T, expected)
+
+
+def test_grid_over_baseline_blocks():
+    vis, _, _ = rfi_test_data(shape=(96, 32), seed=4)
+    vis_t = np.moveaxis(rfi_device.to_planar(vis), 0, 1)
+    full = np.asarray(
+        pallas_flagger.flag_transposed(jnp.asarray(vis_t), bb=32, tile=96, interpret=True)
+    )
+    blocked = np.asarray(
+        pallas_flagger.flag_transposed(jnp.asarray(vis_t), bb=8, tile=96, interpret=True)
+    )
+    np.testing.assert_equal(full, blocked)
+
+
+def test_bad_bb():
+    with pytest.raises(ValueError):
+        pallas_flagger.flag_transposed(jnp.zeros((10, 64, 2), jnp.float32), bb=4, interpret=True)
