@@ -51,13 +51,18 @@ def main():
     parser.add_argument("--baselines", type=int, default=2016)
     parser.add_argument("--width", type=int, default=13)
     parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--bb", type=int, default=8, help="Pallas baselines-per-block")
     parser.add_argument("--skip-parity", action="store_true")
     args = parser.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from katsdpsigproc_tpu.models.rfi import device as rfi_device, host as rfi_host
+    from katsdpsigproc_tpu.models.rfi import (
+        device as rfi_device,
+        host as rfi_host,
+        pallas_flagger,
+    )
 
     device = jax.devices()[0]
     log(f"device: {device} ({device.device_kind})")
@@ -70,37 +75,58 @@ def main():
     spikes = rs.random_sample(shape) < 1.0 / 64.0
     vis_np += spikes * (rs.random_sample(shape) * 20.0 + 50.0)
 
-    fn = rfi_device.make_flagger_fn(args.width, 11.0, threshold="sum")
+    # Two engines, both on the planar (re, im) float32 layout (no complex
+    # dtype on TPU backends):
+    #   - "pallas": the fused single-kernel flagger, baseline-major
+    #   - "xla":    the fused-jit functional path, channel-major
+    xla_fn = rfi_device.make_flagger_fn(args.width, 11.0, threshold="sum")
+
+    def pallas_fn(vis_t):
+        return pallas_flagger.flag_transposed(vis_t, width=args.width, n_sigma=11.0, bb=args.bb)
 
     # ---- parity check on a subsampled block (vs host oracle) -------------
-    # TPU path uses the planar (re, im) float32 layout (no complex dtype on
-    # TPU backends); the host oracle consumes complex64.
     if not args.skip_parity:
         sub = (slice(0, min(512, args.channels)), slice(0, min(64, args.baselines)))
         sub_vis = vis_np[sub]
-        got = np.asarray(fn(jnp.asarray(rfi_device.to_planar(sub_vis))))
         host_flagger = rfi_host.FlaggerHost(
             rfi_host.BackgroundMedianFilterHost(args.width),
             rfi_host.NoiseEstMADHost(),
             rfi_host.ThresholdSumHost(11.0),
         )
         expected = host_flagger(sub_vis)
-        mismatches = int((got != expected).sum())
-        log(f"parity: {mismatches} mismatching flags of {expected.size}")
-        if mismatches:
-            raise SystemExit("mask parity FAILED")
+        planar = rfi_device.to_planar(sub_vis)
+        for name, got in [
+            ("xla", np.asarray(xla_fn(jnp.asarray(planar)))),
+            ("pallas", np.asarray(pallas_fn(jnp.asarray(np.moveaxis(planar, 0, 1).copy()))).T),
+        ]:
+            mismatches = int((got != expected).sum())
+            log(f"parity[{name}]: {mismatches} mismatching flags of {expected.size}")
+            if mismatches:
+                raise SystemExit(f"mask parity FAILED ({name})")
 
     # ---- timing ----------------------------------------------------------
-    vis = jnp.asarray(rfi_device.to_planar(vis_np))
-    out = jax.block_until_ready(fn(vis))  # compile + warm
     n_vis = args.channels * args.baselines
-    times = []
-    for _ in range(args.iters):
-        start = time.perf_counter()
-        out = fn(vis)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - start)
-    dt = float(np.median(times))
+    planar = rfi_device.to_planar(vis_np)
+
+    def time_engine(fn, vis):
+        jax.block_until_ready(fn(vis))  # compile + warm
+        times = []
+        for _ in range(args.iters):
+            start = time.perf_counter()
+            out = fn(vis)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - start)
+        return float(np.median(times))
+
+    results = {}
+    try:
+        results["pallas"] = time_engine(pallas_fn, jnp.asarray(np.moveaxis(planar, 0, 1).copy()))
+    except Exception as exc:  # noqa: BLE001
+        log(f"pallas engine failed: {exc}")
+    results["xla"] = time_engine(xla_fn, jnp.asarray(planar))
+    for name, t in results.items():
+        log(f"engine[{name}]: {t * 1e3:.3f} ms ({n_vis / t / 1e9:.2f} Gvis/s)")
+    dt = min(results.values())
     value = n_vis / dt
     roofline = hbm * 1e9 / BYTES_PER_VIS
     vs_baseline = value / (TARGET_FRACTION * roofline)

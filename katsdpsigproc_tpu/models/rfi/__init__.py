@@ -11,6 +11,7 @@ MAD_NORMAL = 1.4826
 
 from . import host  # noqa: E402,F401
 from . import device  # noqa: E402,F401
+from . import pallas_flagger  # noqa: E402,F401
 from . import twodflag  # noqa: E402,F401
 
-__all__ = ["MAD_NORMAL", "host", "device", "twodflag"]
+__all__ = ["MAD_NORMAL", "host", "device", "pallas_flagger", "twodflag"]

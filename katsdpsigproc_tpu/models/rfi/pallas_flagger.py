@@ -56,40 +56,24 @@ from . import MAD_NORMAL
 _INF = np.float32(np.inf)  # python scalar: becomes a kernel literal, not a captured const
 
 
-def _median_filter_tile(amp, s: int, tc: int, width: int, channels: int):
-    """Masked windowed median for output columns [s, s+tc) of (bb, C) `amp`.
+def _median_filter_tile(members, n_full, s: int, tc: int, width: int):
+    """Masked windowed median for output columns [s, s+tc).
 
-    Members outside [0, channels) are +inf and excluded from the valid
-    count; compare-count selection with positional tie-break picks the two
-    middle valid members (averaged for even counts).
+    `members` are the ``width`` full-row rolled window member arrays
+    (invalid members +inf), `n_full` the per-column valid count; this
+    slices the tile out of each (static, aligned slices only — Mosaic
+    rejects unaligned pads/concats).  Compare-count selection with
+    positional tie-break picks the two middle valid members (averaged for
+    even counts).
     """
-    h = width // 2
-    bb = amp.shape[0]
-
-    def member(d):
-        lo_raw = s + d
-        hi_raw = s + tc + d
-        lo = max(0, lo_raw)
-        hi = min(channels, hi_raw)
-        pad_left = lo - lo_raw
-        pad_right = hi_raw - hi
-        sl = amp[:, lo:hi] if (lo, hi) != (0, channels) else amp
-        if pad_left or pad_right:
-            sl = jnp.pad(sl, ((0, 0), (pad_left, pad_right)), constant_values=_INF)
-        return sl
-
-    win = [member(d) for d in range(-h, h + 1)]
-    col = lax.broadcasted_iota(jnp.int32, (bb, tc), 1) + s
-    n = jnp.zeros((bb, tc), jnp.int32)
-    for d in range(-h, h + 1):
-        valid = (col + d >= 0) & (col + d < channels)
-        n = n + valid.astype(jnp.int32)
+    win = [m[:, s : s + tc] for m in members]
+    n = n_full[:, s : s + tc]
     lo_rank = (n - 1) // 2
     hi_rank = n // 2
-    v_lo = jnp.zeros((bb, tc), jnp.float32)
-    v_hi = jnp.zeros((bb, tc), jnp.float32)
+    v_lo = jnp.zeros(win[0].shape, jnp.float32)
+    v_hi = jnp.zeros(win[0].shape, jnp.float32)
     for j in range(width):
-        r = jnp.zeros((bb, tc), jnp.int32)
+        r = jnp.zeros(win[0].shape, jnp.int32)
         for k in range(width):
             if k == j:
                 continue
@@ -128,31 +112,38 @@ def _roll(x, shift: int, axis: int, interpret: bool):
     """Lane roll: pltpu.roll on hardware, jnp.roll in interpret mode."""
     if interpret or pltpu is None:
         return jnp.roll(x, shift, axis)
-    return pltpu.roll(x, shift, axis)
+    # pltpu.roll requires a non-negative shift; rolling by -j == rolling
+    # forward by size - j.
+    return pltpu.roll(x, shift % x.shape[axis], axis)
 
 
 def _threshold_sum_rows(dev, noise, channels: int, n_sigma, n_windows: int, falloff,
                         interpret: bool = False):
-    """SumThreshold along lanes of (bb, C); returns bool flags."""
+    """SumThreshold along lanes of (bb, C); returns float32 0/1 flags.
+
+    The flag state is carried as float32 0/1, not bool: Mosaic allocates
+    pathological scoped-VMEM for loop-carried i1 vectors (measured: 17 MiB
+    for an (8, 512) block), and lane rotates need 32-bit elements anyway.
+    """
     col = lax.broadcasted_iota(jnp.int32, dev.shape, 1)
-    flags = jnp.zeros(dev.shape, bool)
+    flags = jnp.zeros(dev.shape, jnp.float32)  # 0.0 / 1.0
     base_threshold = (jnp.float32(n_sigma) * noise).astype(jnp.float32)  # (bb, 1)
     for w in range(n_windows):
         window = 1 << w
         if window > channels:
             break
         threshold = base_threshold * jnp.float32(falloff**-w)
-        clamped = jnp.where(flags, threshold, dev)
+        clamped = flags * threshold + (1.0 - flags) * dev
         # sums[k] = sum(clamped[k : k + window]); valid for k <= C - window
         sums = clamped
         for j in range(1, window):
             sums = sums + _roll(clamped, -j, 1, interpret)
-        sum_flags = (sums > threshold * window) & (col <= channels - window)
-        new_flags = sum_flags
+        sf = ((sums > threshold * window) & (col <= channels - window)).astype(jnp.float32)
+        acc = sf
         for j in range(1, window):
-            # wrapped entries come from k > C - window, already masked False
-            new_flags = new_flags | _roll(sum_flags, j, 1, interpret)
-        flags = flags | new_flags
+            # wrapped entries come from k > C - window, already masked 0
+            acc = acc + _roll(sf, j, 1, interpret)
+        flags = jnp.maximum(flags, jnp.minimum(acc, 1.0))
     return flags
 
 
@@ -162,18 +153,37 @@ def _flagger_kernel(vis_ref, flags_ref, *, width: int, n_sigma: float, n_windows
     re = vis_ref[:, :, 0]
     im = vis_ref[:, :, 1]
     amp = jnp.sqrt(re * re + im * im)  # (bb, C)
+    bb = amp.shape[0]
+
+    # Window members as full-row lane rotations (Mosaic supports 32-bit
+    # rotates; pads/unaligned concats it does not), out-of-band lanes +inf.
+    h = width // 2
+    col = lax.broadcasted_iota(jnp.int32, (bb, channels), 1)
+    members = []
+    n_full = jnp.zeros((bb, channels), jnp.int32)
+    for d in range(-h, h + 1):
+        rolled = _roll(amp, -d, 1, interpret)
+        valid = (col + d >= 0) & (col + d < channels)
+        members.append(jnp.where(valid, rolled, _INF))
+        n_full = n_full + valid.astype(jnp.int32)
 
     # Background median filter, tile by tile along the lane axis.
-    parts = []
-    for s in range(0, channels, tile):
-        tc = min(tile, channels - s)
-        med = _median_filter_tile(amp, s, tc, width, channels)
-        parts.append(amp[:, s : s + tc] - med)
-    dev = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    if tile >= channels:
+        med = _median_filter_tile(members, n_full, 0, channels, width)
+        dev = amp - med
+    else:
+        parts = []
+        for s in range(0, channels, tile):
+            tc = min(tile, channels - s)
+            med = _median_filter_tile(members, n_full, s, tc, width)
+            parts.append(amp[:, s : s + tc] - med)
+        dev = jnp.concatenate(parts, axis=1)
 
     noise = _madnz_rows(jnp.abs(dev), channels)
     flags = _threshold_sum_rows(dev, noise, channels, n_sigma, n_windows, falloff, interpret)
-    flags_ref[:, :] = jnp.where(flags, jnp.uint8(flag_value), jnp.uint8(0))
+    # flags are float32 0/1; scale and cast via int32 (Mosaic has no direct
+    # f32→u8 cast, and i1 relayouts to 8-bit tiling are unsupported).
+    flags_ref[:, :] = (flags * flag_value).astype(jnp.int32).astype(jnp.uint8)
 
 
 @functools.partial(
@@ -213,6 +223,10 @@ def flag_transposed(vis_t, width: int = 13, n_sigma: float = 11.0, n_windows: in
         tile=min(tile, channels),
         interpret=interpret,
     )
+    kwargs = {}
+    if not interpret and pltpu is not None:
+        # The default scoped-VMEM limit is 16 MiB; v5e has 128 MiB physical.
+        kwargs["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
         grid=(baselines // bb,),
