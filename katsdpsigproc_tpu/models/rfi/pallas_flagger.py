@@ -18,24 +18,28 @@ Layout: **baseline-major planar** — ``vis_t`` is (baselines, channels, 2)
 float32 (split-complex; TPU backends have no complex dtype) and flags
 come back (baselines, channels) uint8.  Baseline-major puts the channel
 axis on vector lanes, which is what every stage wants: the median window
-is a lane shift, the rank searches reduce along lanes, and SumThreshold's
-window sums are lane shifts.  (The reference reaches the same conclusion
-for its noise/threshold stages — the "transposed" variants,
-rfi/device.py:366,482-488.)
+is a lane rotation, the rank searches reduce along lanes, and
+SumThreshold's window sums are lane rotations.  (The reference reaches the
+same conclusion for its noise/threshold stages — the "transposed"
+variants, rfi/device.py:366,482-488.)
 
 Algorithms (identical semantics to the host oracle / jnp path):
 
-* background median: compare-count selection over the ``width`` shifted
-  window members, out-of-band members +inf with a positional valid count
-  (background_median_filter.mako:96-145 semantics);
+* background median: compare-count selection over the ``width`` window
+  members held in a VMEM scratch, out-of-band members +inf with a
+  positional valid count (background_median_filter.mako:96-145
+  semantics); the rank loops are ``fori_loop``s over the scratch so the
+  kernel IR stays compact at 32k channels;
 * MAD noise: the reference's bitwise IEEE-754 binary search
   (rank.mako:186-231, madnz_t.mako:72-87) along lanes;
-* SumThreshold: full-window shifted sums + boolean dilation
-  (host.py ThresholdSumHost semantics; cf. threshold_sum.mako:49-132).
+* SumThreshold: full-window rotated sums + dilation with **float32 0/1
+  flag state** (host.py ThresholdSumHost semantics; cf.
+  threshold_sum.mako:49-132).  Mosaic hardware notes baked in: loop-
+  carried i1 vectors allocate pathological scoped VMEM, lane rotates need
+  32-bit elements, and f32→u8 casts must go via i32.
 """
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -53,37 +57,48 @@ except ImportError:  # pragma: nocover
 
 from . import MAD_NORMAL
 
-_INF = np.float32(np.inf)  # python scalar: becomes a kernel literal, not a captured const
+_INF = np.float32(np.inf)  # python scalar: a kernel literal, not a captured const
 
 
-def _median_filter_tile(members, n_full, s: int, tc: int, width: int):
-    """Masked windowed median for output columns [s, s+tc).
+def _roll(x, shift: int, axis: int, interpret: bool):
+    """Lane roll: pltpu.roll on hardware, jnp.roll in interpret mode."""
+    if interpret or pltpu is None:
+        return jnp.roll(x, shift, axis)
+    # pltpu.roll requires a non-negative shift; rolling by -j == rolling
+    # forward by size - j.
+    return pltpu.roll(x, shift % x.shape[axis], axis)
 
-    `members` are the ``width`` full-row rolled window member arrays
-    (invalid members +inf), `n_full` the per-column valid count; this
-    slices the tile out of each (static, aligned slices only — Mosaic
-    rejects unaligned pads/concats).  Compare-count selection with
-    positional tie-break picks the two middle valid members (averaged for
-    even counts).
+
+def _masked_median_rows(members_ref, n, width: int):
+    """Compare-count masked median over the `width` members in scratch.
+
+    ``members_ref`` is a (width, bb, C) VMEM scratch of window members
+    (+inf = absent); `n` the (bb, C) valid count.  Stable ranks (ties to
+    the earlier member) make each valid member's rank unique, so the two
+    middle elements are selected by rank equality and summed.
     """
-    win = [m[:, s : s + tc] for m in members]
-    n = n_full[:, s : s + tc]
     lo_rank = (n - 1) // 2
     hi_rank = n // 2
-    v_lo = jnp.zeros(win[0].shape, jnp.float32)
-    v_hi = jnp.zeros(win[0].shape, jnp.float32)
-    for j in range(width):
-        r = jnp.zeros(win[0].shape, jnp.int32)
-        for k in range(width):
-            if k == j:
-                continue
-            if k < j:
-                r = r + (win[k] <= win[j]).astype(jnp.int32)
-            else:
-                r = r + (win[k] < win[j]).astype(jnp.int32)
-        vj = jnp.where(win[j] == _INF, 0.0, win[j])
+    shape = n.shape
+
+    def body_j(j, carry):
+        v_lo, v_hi = carry
+        mj = members_ref[j]
+
+        def body_k(k, r):
+            mk = members_ref[k]
+            lt = (mk < mj) | ((mk == mj) & (k < j))
+            return r + lt.astype(jnp.int32)
+
+        r = lax.fori_loop(0, width, body_k, jnp.zeros(shape, jnp.int32))
+        vj = jnp.where(mj == _INF, 0.0, mj)
         v_lo = v_lo + jnp.where(r == lo_rank, vj, 0.0)
         v_hi = v_hi + jnp.where(r == hi_rank, vj, 0.0)
+        return v_lo, v_hi
+
+    v_lo, v_hi = lax.fori_loop(
+        0, width, body_j, (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+    )
     return (v_lo + v_hi) * jnp.float32(0.5)
 
 
@@ -108,21 +123,12 @@ def _madnz_rows(absdev, channels: int):
     return jnp.float32(MAD_NORMAL) * med  # (bb, 1)
 
 
-def _roll(x, shift: int, axis: int, interpret: bool):
-    """Lane roll: pltpu.roll on hardware, jnp.roll in interpret mode."""
-    if interpret or pltpu is None:
-        return jnp.roll(x, shift, axis)
-    # pltpu.roll requires a non-negative shift; rolling by -j == rolling
-    # forward by size - j.
-    return pltpu.roll(x, shift % x.shape[axis], axis)
-
-
 def _threshold_sum_rows(dev, noise, channels: int, n_sigma, n_windows: int, falloff,
                         interpret: bool = False):
     """SumThreshold along lanes of (bb, C); returns float32 0/1 flags.
 
     The flag state is carried as float32 0/1, not bool: Mosaic allocates
-    pathological scoped-VMEM for loop-carried i1 vectors (measured: 17 MiB
+    pathological scoped VMEM for loop-carried i1 vectors (measured: 17 MiB
     for an (8, 512) block), and lane rotates need 32-bit elements anyway.
     """
     col = lax.broadcasted_iota(jnp.int32, dev.shape, 1)
@@ -147,37 +153,27 @@ def _threshold_sum_rows(dev, noise, channels: int, n_sigma, n_windows: int, fall
     return flags
 
 
-def _flagger_kernel(vis_ref, flags_ref, *, width: int, n_sigma: float, n_windows: int,
-                    falloff: float, flag_value: int, channels: int, tile: int,
+def _flagger_kernel(vis_ref, flags_ref, members_ref, *, width: int, n_sigma: float,
+                    n_windows: int, falloff: float, flag_value: int, channels: int,
                     interpret: bool = False):
     re = vis_ref[:, :, 0]
     im = vis_ref[:, :, 1]
     amp = jnp.sqrt(re * re + im * im)  # (bb, C)
     bb = amp.shape[0]
 
-    # Window members as full-row lane rotations (Mosaic supports 32-bit
-    # rotates; pads/unaligned concats it does not), out-of-band lanes +inf.
+    # Window members as full-row lane rotations, stored to the VMEM
+    # scratch; out-of-band lanes +inf.
     h = width // 2
     col = lax.broadcasted_iota(jnp.int32, (bb, channels), 1)
-    members = []
-    n_full = jnp.zeros((bb, channels), jnp.int32)
+    n = jnp.zeros((bb, channels), jnp.int32)
     for d in range(-h, h + 1):
         rolled = _roll(amp, -d, 1, interpret)
         valid = (col + d >= 0) & (col + d < channels)
-        members.append(jnp.where(valid, rolled, _INF))
-        n_full = n_full + valid.astype(jnp.int32)
+        members_ref[d + h] = jnp.where(valid, rolled, _INF)
+        n = n + valid.astype(jnp.int32)
 
-    # Background median filter, tile by tile along the lane axis.
-    if tile >= channels:
-        med = _median_filter_tile(members, n_full, 0, channels, width)
-        dev = amp - med
-    else:
-        parts = []
-        for s in range(0, channels, tile):
-            tc = min(tile, channels - s)
-            med = _median_filter_tile(members, n_full, s, tc, width)
-            parts.append(amp[:, s : s + tc] - med)
-        dev = jnp.concatenate(parts, axis=1)
+    med = _masked_median_rows(members_ref, n, width)
+    dev = amp - med
 
     noise = _madnz_rows(jnp.abs(dev), channels)
     flags = _threshold_sum_rows(dev, noise, channels, n_sigma, n_windows, falloff, interpret)
@@ -193,7 +189,7 @@ def _flagger_kernel(vis_ref, flags_ref, *, width: int, n_sigma: float, n_windows
 )
 def flag_transposed(vis_t, width: int = 13, n_sigma: float = 11.0, n_windows: int = 4,
                     falloff: float = 1.2, flag_value: int = 1, bb: int = 8,
-                    tile: int = 2048, interpret: bool = False):
+                    tile: int = 0, interpret: bool = False):
     """Fused flagger on baseline-major planar visibilities.
 
     Parameters
@@ -203,7 +199,7 @@ def flag_transposed(vis_t, width: int = 13, n_sigma: float = 11.0, n_windows: in
     bb
         Baselines per grid step (VMEM budget knob; the tuning dimension).
     tile
-        Lane-tile width for the median filter stage.
+        Unused (kept for tuning-table compatibility).
 
     Returns
     -------
@@ -220,7 +216,6 @@ def flag_transposed(vis_t, width: int = 13, n_sigma: float = 11.0, n_windows: in
         falloff=falloff,
         flag_value=flag_value,
         channels=channels,
-        tile=min(tile, channels),
         interpret=interpret,
     )
     kwargs = {}
@@ -233,5 +228,9 @@ def flag_transposed(vis_t, width: int = 13, n_sigma: float = 11.0, n_windows: in
         in_specs=[pl.BlockSpec((bb, channels, 2), lambda i: (i, 0, 0), memory_space=_VMEM)],
         out_specs=pl.BlockSpec((bb, channels), lambda i: (i, 0), memory_space=_VMEM),
         out_shape=jax.ShapeDtypeStruct((baselines, channels), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((width, bb, channels), jnp.float32) if pltpu is not None else None
+        ],
         interpret=interpret,
+        **kwargs,
     )(vis_t)
