@@ -25,6 +25,18 @@ import jax
 _PLATFORM_RANK = {"tpu": 100, "axon": 100, "gpu": 50, "cuda": 50, "rocm": 50, "cpu": 30}
 
 
+def apply_platform_env() -> None:
+    """Honour ``KATSDPSIGPROC_TPU_PLATFORM`` (e.g. ``cpu``) if set.
+
+    Some deployment environments pre-import jax and pin JAX_PLATFORMS
+    before user code runs, so an env-var override must go through
+    ``jax.config`` — scripts call this before touching devices.
+    """
+    platform = os.environ.get("KATSDPSIGPROC_TPU_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
+
 def all_devices() -> List[jax.Device]:
     """All addressable JAX devices (reference: accel.py:211-219)."""
     return list(jax.local_devices())

@@ -4,6 +4,14 @@ scripts/maskedsumtest.py:26-45 — 4000×5000 complex64; use
 --amplitudes for the maskedsumabstest variant)."""
 
 import argparse
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from katsdpsigproc_tpu.utils import backend as _backend  # noqa: E402
+
+_backend.apply_platform_env()
 import sys
 import time
 

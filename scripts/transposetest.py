@@ -3,6 +3,14 @@
 3072×8320 complex64)."""
 
 import argparse
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from katsdpsigproc_tpu.utils import backend as _backend  # noqa: E402
+
+_backend.apply_platform_env()
 import sys
 import time
 

@@ -1,0 +1,56 @@
+"""Smoke tests for the benchmark scripts (reference: scripts/*.py drivers)."""
+
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+SCRIPTS = pathlib.Path(__file__).parent.parent / "scripts"
+
+
+def _run(script, *args):
+    env = dict(os.environ)
+    env["KATSDPSIGPROC_TPU_PLATFORM"] = "cpu"
+    env["KATSDPSIGPROC_TPU_TUNE_DB"] = "/tmp/test_scripts_tune.json"
+    return subprocess.run(
+        [sys.executable, str(SCRIPTS / script), *args],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=str(SCRIPTS.parent),
+    )
+
+
+def test_rfiflagtest_1d():
+    r = _run("rfiflagtest.py", "--channels", "256", "--baselines", "32")
+    assert r.returncode == 0, r.stderr
+    assert "Mask mismatches: 0" in r.stderr
+
+
+def test_rfiflagtest_2d():
+    r = _run("rfiflagtest.py", "--time", "48", "--channels", "300", "--baselines", "2")
+    assert r.returncode == 0, r.stderr
+    assert "2-D flagger" in r.stderr
+
+
+def test_transposetest():
+    r = _run("transposetest.py", "--rows", "96", "--cols", "160", "--iters", "2")
+    assert r.returncode == 0, r.stderr
+
+
+def test_percentiletest():
+    r = _run("percentiletest.py", "--rows", "64", "--cols", "100", "--iters", "2")
+    assert r.returncode == 0, r.stderr
+    assert "exact match" in r.stderr
+
+
+@pytest.mark.parametrize("amplitudes", [False, True])
+def test_maskedsumtest(amplitudes):
+    args = ["--rows", "64", "--cols", "100", "--iters", "2"]
+    if amplitudes:
+        args.append("--amplitudes")
+    r = _run("maskedsumtest.py", *args)
+    assert r.returncode == 0, r.stderr
