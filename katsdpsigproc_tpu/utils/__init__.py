@@ -1,5 +1,5 @@
 """Framework utilities: tuning, async resource ordering, device discovery, shapes."""
 
-from . import backend, resource, shapes, tune  # noqa: F401
+from . import backend, profiling, resource, shapes, tune  # noqa: F401
 
-__all__ = ["backend", "resource", "shapes", "tune"]
+__all__ = ["backend", "profiling", "resource", "shapes", "tune"]

@@ -16,7 +16,7 @@ def test_matches_host_oracle(channels, baselines):
     vis_t = np.moveaxis(rfi_device.to_planar(vis), 0, 1)  # (B, C, 2)
     out_t = np.asarray(
         pallas_flagger.flag_transposed(
-            jnp.asarray(vis_t), width=13, n_sigma=11.0, bb=baselines, tile=128, interpret=True
+            jnp.asarray(vis_t), width=13, n_sigma=11.0, bb=baselines, interpret=True
         )
     )
     host_flagger = rfi_host.FlaggerHost(
@@ -32,12 +32,32 @@ def test_grid_over_baseline_blocks():
     vis, _, _ = rfi_test_data(shape=(96, 32), seed=4)
     vis_t = np.moveaxis(rfi_device.to_planar(vis), 0, 1)
     full = np.asarray(
-        pallas_flagger.flag_transposed(jnp.asarray(vis_t), bb=32, tile=96, interpret=True)
+        pallas_flagger.flag_transposed(jnp.asarray(vis_t), bb=32, interpret=True)
     )
     blocked = np.asarray(
-        pallas_flagger.flag_transposed(jnp.asarray(vis_t), bb=8, tile=96, interpret=True)
+        pallas_flagger.flag_transposed(jnp.asarray(vis_t), bb=8, interpret=True)
     )
     np.testing.assert_equal(full, blocked)
+
+
+def test_folded_channel_axis_matches_host():
+    """Multi-row folds exercise the cross-row shift logic."""
+    vis, _, _ = rfi_test_data(shape=(384, 8), seed=5)
+    vis_t = np.moveaxis(rfi_device.to_planar(vis), 0, 1)
+    out = np.asarray(
+        pallas_flagger.flag_transposed(jnp.asarray(vis_t), bb=8, fold=128, interpret=True)
+    )
+    host_flagger = rfi_host.FlaggerHost(
+        rfi_host.BackgroundMedianFilterHost(13),
+        rfi_host.NoiseEstMADHost(),
+        rfi_host.ThresholdSumHost(11.0),
+    )
+    np.testing.assert_equal(out.T, host_flagger(vis))
+    # A fold that does not divide the channel count (pad + crop path)
+    out160 = np.asarray(
+        pallas_flagger.flag_transposed(jnp.asarray(vis_t), bb=8, fold=256, interpret=True)
+    )
+    np.testing.assert_equal(out160, out)
 
 
 def test_bad_bb():
