@@ -14,31 +14,42 @@ intermediate round-tripping through global memory
 background filter and rank reductions compile to separate fusions with
 HBM-materialized deviations.
 
-Data layout — **baseline-major, folded channels, split-complex**:
-``vis_t`` is (baselines, channels, 2) float32 (TPU backends have no
-complex dtype); inside the kernel the channel axis is folded to
-(H, FOLD=1024) so no vector op exceeds 1024 lanes (the Mosaic AOT
-compiler cannot digest 32k-lane ops).  A shift along the logical channel
-axis is a lane rotation plus a sublane-row rotation with a lane-index
-select (:func:`_shift_channels`); out-of-band positions are handled by
-global-channel iota masks, never by padding values (Mosaic rejects
-unaligned pads/concats).
+Data layout — **band-folded 2-D, split-complex**.  ``vis_t`` is
+(baselines, channels, 2) float32 (TPU backends have no complex dtype).
+Inside the kernel each baseline's channel axis is folded row-major into an
+``H × W`` band (W ≤ 1024 lanes), and a block of ``bb`` baselines forms a
+plain 2-D ``(bb·H, W)`` array — the only shape class the Mosaic AOT
+compiler digests reliably (3-D ops, multi-axis reductions, and ≥16k-lane
+vectors all crash it; see CLAUDE.md).  The building blocks:
+
+* a shift along the logical channel axis = lane rotation + a single
+  sublane rotation selected on a lane-index mask
+  (:func:`_shift_channels`).  Rows that cross a band boundary pull
+  garbage only at positions whose global channel index is out of range,
+  so every consumer masks on the channel iota — never on padding values;
+* per-baseline reductions = per-row lane reductions followed by a
+  **block-diagonal matmul** (``G @ x``, G built from iota in-kernel),
+  which sums each band's rows and broadcasts the result back to every
+  row in one MXU op; rank counts stay exact in f32 (≤ 2²⁴);
+* per-baseline max (for the median halfway correction) = masked
+  suffix-max over rows by log-step sublane rotations, then a first-row
+  pick broadcast through G.
 
 Algorithms (identical semantics to the host oracle / jnp path):
 
 * background median: compare-count selection over the ``width`` window
   members held in a VMEM scratch, absent members +inf with a positional
-  valid count (background_median_filter.mako:96-145 semantics); the rank
-  loops are ``fori_loop``s over the scratch so the kernel IR stays compact;
+  valid count (background_median_filter.mako:96-145 semantics);
+  ``fori_loop`` rank loops keep the IR compact;
 * MAD noise: the reference's bitwise IEEE-754 binary search
   (rank.mako:186-231, madnz_t.mako:72-87), NaN-masking the fold padding;
 * SumThreshold: full-window shifted sums + dilation with **float32 0/1
   flag state** (host.py ThresholdSumHost semantics; cf.
   threshold_sum.mako:49-132).
 
-Mosaic hardware notes baked in: loop-carried i1 vectors allocate
-pathological scoped VMEM (carry flags as f32 0/1); lane rotates need
-32-bit elements and non-negative shifts; f32→u8 casts go via i32.
+Mosaic notes baked in: loop-carried i1 vectors allocate pathological
+scoped VMEM (flags are f32 0/1); lane rotates need 32-bit elements and
+non-negative shifts; f32→u8 casts go via i32.
 """
 
 import functools
@@ -60,7 +71,7 @@ except ImportError:  # pragma: nocover
 from ...utils import tune as _tune
 from . import MAD_NORMAL
 
-_INF = np.float32(np.inf)  # python scalar: a kernel literal, not a captured const
+_INF = np.float32(np.inf)  # python scalars: kernel literals, not captured consts
 _NAN = np.float32(np.nan)
 
 
@@ -76,37 +87,75 @@ def _roll(x, shift: int, axis: int, interpret: bool):
 
 
 def _shift_channels(x, d: int, interpret: bool):
-    """out[..., h, w] = x at logical channel (h*W + w + d), wrap garbage.
+    """out[r, w] = x at logical channel position (r, w+d) in band-folded rows.
 
-    `x` is (bb, H, W) with the logical channel axis folded row-major into
-    (H, W).  The result is exact for all positions whose source channel is
-    in range; positions whose source wraps carry garbage and MUST be
-    masked by the caller (all callers mask on the global channel iota).
+    `x` is (R, W) where each consecutive group of H rows is one baseline's
+    channel axis folded row-major.  Positions whose source crosses a band
+    boundary out of the valid channel range carry garbage and MUST be
+    masked by the caller on the global channel iota (all callers do).
     """
     if d == 0:
         return x
     w = x.shape[-1]
     if abs(d) >= w:
         raise ValueError("shift exceeds fold width")
-    lane = lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    rl = _roll(x, -d, x.ndim - 1, interpret)
+    lane = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    rl = _roll(x, -d, 1, interpret)
     if d > 0:
-        # source lane w+d; lanes >= W-d spill into the next sublane row
-        rs = _roll(rl, -1, x.ndim - 2, interpret)
+        rs = _roll(rl, -1, 0, interpret)  # lanes >= W-d spill into the next row
         return jnp.where(lane < w - d, rl, rs)
-    # d < 0: source lane w+d; lanes < -d come from the previous row
-    rs = _roll(rl, 1, x.ndim - 2, interpret)
+    rs = _roll(rl, 1, 0, interpret)  # lanes < -d come from the previous row
     return jnp.where(lane >= -d, rl, rs)
+
+
+def _band_matrix(rows: int, h: int):
+    """G[i, j] = 1.0 where rows i and j belong to the same band (baseline).
+
+    Built from iota inside the kernel (a captured constant would be
+    rejected by pallas_call).  ``G @ x`` both sums each band's rows and
+    broadcasts the total back to every row of the band.
+    """
+    ri = lax.broadcasted_iota(jnp.int32, (rows, rows), 0) // h
+    rj = lax.broadcasted_iota(jnp.int32, (rows, rows), 1) // h
+    return (ri == rj).astype(jnp.float32)
+
+
+def _band_sum(g, x_rows):
+    """Per-band total of per-row values (R, 1), broadcast back to rows."""
+    return jnp.dot(g, x_rows, preferred_element_type=jnp.float32)
+
+
+def _band_max(m_rows, h: int, interpret: bool, g=None):
+    """Per-band max of per-row values (R, 1), broadcast back to rows.
+
+    Masked suffix-max by log-step sublane rotations, then the band's
+    first row (which holds the full-band max) is broadcast through G
+    (sum-broadcast works: one non-zero contribution per band).
+    """
+    rows = m_rows.shape[0]
+    r_iota = lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    h_pos = r_iota % h
+    m = m_rows
+    step = 1
+    while step < h:
+        cand = _roll(m, -step, 0, interpret)
+        valid = h_pos + step < h
+        m = jnp.maximum(m, jnp.where(valid, cand, -_INF))
+        step *= 2
+    first = jnp.where(h_pos == 0, m, 0.0)
+    if g is None:
+        g = _band_matrix(rows, h)
+    return _band_sum(g, first)
 
 
 def _masked_median_rows(members_ref, n, width: int):
     """Compare-count masked median over the `width` members in scratch.
 
-    ``members_ref`` is a (width, bb, H, W) VMEM scratch of window members
-    (+inf = absent); `n` the (bb, H, W) valid count.  Stable ranks (ties
-    to the earlier member) make each valid member's rank unique, so the
-    two middle elements are selected by rank equality and summed
-    (averaged — the reference's even-count semantics).
+    ``members_ref`` is a (width, R, W) VMEM scratch of window members
+    (+inf = absent); `n` the (R, W) valid count.  Stable ranks (ties to
+    the earlier member) make each valid member's rank unique, so the two
+    middle elements are selected by rank equality and summed (averaged —
+    the reference's even-count semantics).
     """
     lo_rank = (n - 1) // 2
     hi_rank = n // 2
@@ -133,40 +182,46 @@ def _masked_median_rows(members_ref, n, width: int):
     return (v_lo + v_hi) * jnp.float32(0.5)
 
 
-def _madnz_rows(absdev, channels: int):
-    """MAD of non-zero |deviations| per baseline of (bb, H, W).
+def _madnz_band(absdev, g, h: int, channels: int, interpret: bool):
+    """MAD of non-zero |deviations| per band of (R, W); result per row (R, 1).
 
     NaN entries (fold padding) are absent: they count in neither the rank
-    nor the zero count, exactly like the reference's NaN padding
-    (madnz_t.mako:50, rank.mako:47-58).
+    nor the zero count, matching the reference's NaN padding
+    (madnz_t.mako:50, rank.mako:47-58).  Counts are exact in f32.
     """
-    zeros = jnp.sum((absdev == 0).astype(jnp.int32), axis=(1, 2), keepdims=True)
-    rank2 = channels + zeros
-    target = rank2 // 2
-    halfway = (rank2 & 1) == 0
+    zeros = _band_sum(g, jnp.sum((absdev == 0).astype(jnp.float32), axis=1, keepdims=True))
+    rank2 = jnp.float32(channels) + zeros
+    target = jnp.floor(rank2 * 0.5)
+    halfway = rank2 - 2.0 * target == 0
+
+    def count_less(cand_rows):
+        c = jnp.sum((absdev < cand_rows).astype(jnp.float32), axis=1, keepdims=True)
+        return _band_sum(g, c)
 
     def body(i, cur):
         test = cur | (jnp.int32(1) << (30 - i))
         cand = lax.bitcast_convert_type(test, jnp.float32)
-        r = jnp.sum((absdev < cand).astype(jnp.int32), axis=(1, 2), keepdims=True)
+        r = count_less(cand)
         return jnp.where(r <= target, test, cur)
 
     cur = lax.fori_loop(0, 31, body, jnp.zeros(target.shape, jnp.int32))
     result = lax.bitcast_convert_type(cur, jnp.float32)
-    r = jnp.sum((absdev < result).astype(jnp.int32), axis=(1, 2), keepdims=True)
-    prev = jnp.max(jnp.where(absdev < result, absdev, 0.0), axis=(1, 2), keepdims=True)
+    r = count_less(result)
+    below = jnp.max(jnp.where(absdev < result, absdev, 0.0), axis=1, keepdims=True)
+    prev = _band_max(below, h, interpret, g)
     med = jnp.where(halfway & (r == target), (result + prev) * 0.5, result)
-    return jnp.float32(MAD_NORMAL) * med  # (bb, 1, 1)
+    return jnp.float32(MAD_NORMAL) * med  # (R, 1)
 
 
-def _threshold_sum_rows(dev, noise, col, channels: int, n_sigma, n_windows: int, falloff,
-                        interpret: bool = False):
-    """SumThreshold along folded channels of (bb, H, W); float32 0/1 flags.
+def _threshold_sum_band(dev, noise_rows, col, channels: int, n_sigma, n_windows: int,
+                        falloff, interpret: bool = False):
+    """SumThreshold along folded channels of (R, W); float32 0/1 flags.
 
-    `col` is the global-channel iota; `dev` must be 0 on fold padding.
+    `col` is the global-channel iota; `dev` must be 0 on fold padding;
+    `noise_rows` is the per-row (band-broadcast) noise estimate.
     """
     flags = jnp.zeros(dev.shape, jnp.float32)  # 0.0 / 1.0
-    base_threshold = (jnp.float32(n_sigma) * noise).astype(jnp.float32)  # (bb, 1, 1)
+    base_threshold = (jnp.float32(n_sigma) * noise_rows).astype(jnp.float32)  # (R, 1)
     for w in range(n_windows):
         window = 1 << w
         if window > channels:
@@ -180,7 +235,7 @@ def _threshold_sum_rows(dev, noise, col, channels: int, n_sigma, n_windows: int,
         sf = ((sums > threshold * window) & (col <= channels - window)).astype(jnp.float32)
         acc = sf
         for j in range(1, window):
-            # garbage from wraps comes from c > C - window: masked 0 in sf
+            # garbage from band-crossings comes from c > C - window: masked 0
             acc = acc + _shift_channels(sf, -j, interpret)
         flags = jnp.maximum(flags, jnp.minimum(acc, 1.0))
     return flags
@@ -188,37 +243,38 @@ def _threshold_sum_rows(dev, noise, col, channels: int, n_sigma, n_windows: int,
 
 def _flagger_kernel(vis_ref, flags_ref, members_ref, *, width: int, n_sigma: float,
                     n_windows: int, falloff: float, flag_value: int, channels: int,
-                    interpret: bool = False):
-    re = vis_ref[:, :, :, 0]
-    im = vis_ref[:, :, :, 1]
-    amp = jnp.sqrt(re * re + im * im)  # (bb, H, W)
-    bb, hh, ww = amp.shape
+                    h: int, interpret: bool = False):
+    re = vis_ref[:, :, 0]
+    im = vis_ref[:, :, 1]
+    amp = jnp.sqrt(re * re + im * im)  # (R, W)
+    rows, ww = amp.shape
     col = (
-        lax.broadcasted_iota(jnp.int32, amp.shape, 1) * ww
-        + lax.broadcasted_iota(jnp.int32, amp.shape, 2)
+        (lax.broadcasted_iota(jnp.int32, amp.shape, 0) % h) * ww
+        + lax.broadcasted_iota(jnp.int32, amp.shape, 1)
     )
     in_band = col < channels
+    g = _band_matrix(rows, h)
 
     # Window members via folded-channel shifts, absent members +inf.
-    h = width // 2
+    half = width // 2
     n = jnp.zeros(amp.shape, jnp.int32)
-    for d in range(-h, h + 1):
+    for d in range(-half, half + 1):
         shifted = _shift_channels(amp, d, interpret)
         valid = (col + d >= 0) & (col + d < channels)
-        members_ref[d + h] = jnp.where(valid, shifted, _INF)
+        members_ref[d + half] = jnp.where(valid, shifted, _INF)
         n = n + valid.astype(jnp.int32)
 
     med = _masked_median_rows(members_ref, n, width)
-    dev = amp - med  # garbage on padding; masked below
+    dev = amp - med  # garbage on fold padding; masked below
 
     absdev = jnp.where(in_band, jnp.abs(dev), _NAN)
-    noise = _madnz_rows(absdev, channels)
+    noise_rows = _madnz_band(absdev, g, h, channels, interpret)
     dev0 = jnp.where(in_band, dev, 0.0)
-    flags = _threshold_sum_rows(dev0, noise, col, channels, n_sigma, n_windows, falloff,
-                                interpret)
+    flags = _threshold_sum_band(dev0, noise_rows, col, channels, n_sigma, n_windows,
+                                falloff, interpret)
     # flags are float32 0/1; scale and cast via int32 (Mosaic has no direct
     # f32→u8 cast, and i1 relayouts to 8-bit tiling are unsupported).
-    flags_ref[:, :, :] = (flags * flag_value).astype(jnp.int32).astype(jnp.uint8)
+    flags_ref[:, :] = (flags * flag_value).astype(jnp.int32).astype(jnp.uint8)
 
 
 class FusedFlaggerTemplate:
@@ -230,7 +286,7 @@ class FusedFlaggerTemplate:
     ``wgs``/``csplit`` searches.
     """
 
-    autotune_version = 2
+    autotune_version = 3
 
     def __init__(self, context, width: int = 13, n_windows: int = 4,
                  threshold_falloff: float = 1.2, flag_value: int = 1, tuning=None):
@@ -241,12 +297,12 @@ class FusedFlaggerTemplate:
         self.flag_value = flag_value
         if tuning is None:
             tuning = self.autotune(context, width, n_windows)
-        self.bb = tuning.get("bb", 8)
+        self.bb = tuning.get("bb", 4)
 
     @classmethod
-    @_tune.autotuner(test={"bb": 8})
+    @_tune.autotuner(test={"bb": 4})
     def autotune(cls, context, width, n_windows):
-        channels, baselines = 32768, 128
+        channels, baselines = 32768, 64
         rs = np.random.RandomState(seed=1)
         vis_t = jnp.asarray(rs.standard_normal((baselines, channels, 2)).astype(np.float32))
 
@@ -256,7 +312,7 @@ class FusedFlaggerTemplate:
 
             return _tune.make_measure(call)
 
-        return _tune.autotune(generate, bb=[8, 16, 32])
+        return _tune.autotune(generate, bb=[1, 2, 4, 8])
 
     def __call__(self, vis_t, n_sigma: float = 11.0, interpret: bool = False):
         return flag_transposed(
@@ -277,7 +333,7 @@ class FusedFlaggerTemplate:
                      "interpret"),
 )
 def flag_transposed(vis_t, width: int = 13, n_sigma: float = 11.0, n_windows: int = 4,
-                    falloff: float = 1.2, flag_value: int = 1, bb: int = 8,
+                    falloff: float = 1.2, flag_value: int = 1, bb: int = 4,
                     fold: int = 1024, interpret: bool = False):
     """Fused flagger on baseline-major planar visibilities.
 
@@ -288,8 +344,8 @@ def flag_transposed(vis_t, width: int = 13, n_sigma: float = 11.0, n_windows: in
     bb
         Baselines per grid step (VMEM budget knob; the tuning dimension).
     fold
-        Lane width of the folded channel axis (≤ 1024; must be a multiple
-        of 128 unless it covers all channels).
+        Lane width W of the folded channel axis (≤ 1024, multiple of 128
+        unless it covers all channels).
 
     Returns
     -------
@@ -303,7 +359,9 @@ def flag_transposed(vis_t, width: int = 13, n_sigma: float = 11.0, n_windows: in
     padded_c = hh * fold
     if padded_c != channels:
         vis_t = jnp.pad(vis_t, ((0, 0), (0, padded_c - channels), (0, 0)))
-    folded = vis_t.reshape(baselines, hh, fold, 2)
+    # Band-folded rows: row b*hh + h holds channels [h*fold, (h+1)*fold)
+    folded = vis_t.reshape(baselines * hh, fold, 2)
+    block_rows = bb * hh
 
     kernel = functools.partial(
         _flagger_kernel,
@@ -312,7 +370,8 @@ def flag_transposed(vis_t, width: int = 13, n_sigma: float = 11.0, n_windows: in
         n_windows=n_windows,
         falloff=falloff,
         flag_value=flag_value,
-        channels=channels,
+        channels=padded_c if padded_c == channels else channels,
+        h=hh,
         interpret=interpret,
     )
     kwargs = {}
@@ -322,10 +381,10 @@ def flag_transposed(vis_t, width: int = 13, n_sigma: float = 11.0, n_windows: in
     out = pl.pallas_call(
         kernel,
         grid=(baselines // bb,),
-        in_specs=[pl.BlockSpec((bb, hh, fold, 2), lambda i: (i, 0, 0, 0), memory_space=_VMEM)],
-        out_specs=pl.BlockSpec((bb, hh, fold), lambda i: (i, 0, 0), memory_space=_VMEM),
-        out_shape=jax.ShapeDtypeStruct((baselines, hh, fold), jnp.uint8),
-        scratch_shapes=[pltpu.VMEM((width, bb, hh, fold), jnp.float32)],
+        in_specs=[pl.BlockSpec((block_rows, fold, 2), lambda i: (i, 0, 0), memory_space=_VMEM)],
+        out_specs=pl.BlockSpec((block_rows, fold), lambda i: (i, 0), memory_space=_VMEM),
+        out_shape=jax.ShapeDtypeStruct((baselines * hh, fold), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((width, block_rows, fold), jnp.float32)],
         interpret=interpret,
         **kwargs,
     )(folded)
