@@ -1,0 +1,39 @@
+"""Device discovery tests (reference: accel.py device selection logic)."""
+
+import jax
+import pytest
+
+from katsdpsigproc_tpu.utils import backend
+
+
+def test_all_devices():
+    assert len(backend.all_devices()) >= 1
+
+
+def test_env_pinning(monkeypatch):
+    devices = backend.all_devices()
+    monkeypatch.setenv("KATSDPSIGPROC_TPU_DEVICE", "0")
+    assert backend.candidate_devices() == [devices[0]]
+    monkeypatch.setenv("KATSDPSIGPROC_TPU_DEVICE", str(len(devices)))
+    with pytest.raises(IndexError):
+        backend.candidate_devices()
+
+
+def test_device_filter():
+    assert backend.candidate_devices(lambda d: False) == []
+    with pytest.raises(RuntimeError, match="No matching device"):
+        backend.create_some_context(device_filter=lambda d: False)
+
+
+def test_create_some_context_and_put():
+    ctx = backend.create_some_context()
+    assert ctx.platform == jax.devices()[0].platform
+    import jax.numpy as jnp
+
+    x = ctx.put(jnp.ones(4))
+    assert x.devices() == {ctx.device}
+
+
+def test_device_kind_key():
+    platform, kind = backend.device_kind_key()
+    assert isinstance(platform, str) and isinstance(kind, str)
