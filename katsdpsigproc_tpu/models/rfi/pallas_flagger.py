@@ -356,6 +356,11 @@ def flag_transposed(vis_t, width: int = 13, n_sigma: float = 11.0, n_windows: in
         raise ValueError(f"baselines ({baselines}) must divide by bb ({bb})")
     fold = min(fold, max(128, -(-channels // 128) * 128)) if channels > 128 else channels
     hh = -(-channels // fold)
+    if (bb * hh) % 8 and bb != baselines:
+        raise ValueError(
+            f"block rows bb*H = {bb}*{hh} must be a multiple of 8 (TPU sublane "
+            f"tiling) — raise bb or lower fold"
+        )
     padded_c = hh * fold
     if padded_c != channels:
         vis_t = jnp.pad(vis_t, ((0, 0), (0, padded_c - channels), (0, 0)))
