@@ -144,13 +144,18 @@ def percentile5(values, engine: str = "rank"):
         s = jnp.sort(values, axis=-1)
         out = jnp.stack([s[..., 0], s[..., n - 1], s[..., r25], s[..., r75], s[..., r50]])
     else:
+        # One 31-round binary search resolves all three ranks at once: the
+        # rank axis broadcasts against a single read of the data per round.
+        targets = jnp.asarray([r25, r75, r50], jnp.int32)
+        vb = jnp.broadcast_to(values[..., None, :], values.shape[:-1] + (3, values.shape[-1]))
+        p = rank.find_rank_float(vb, targets, False)  # (..., 3)
         out = jnp.stack(
             [
                 rank.fmin(values),
                 rank.fmax(values),
-                rank.find_rank_float(values, r25, False),
-                rank.find_rank_float(values, r75, False),
-                rank.find_rank_float(values, r50, False),
+                p[..., 0],
+                p[..., 1],
+                p[..., 2],
             ]
         )
     return out.astype(jnp.float32)
