@@ -77,16 +77,18 @@ def percentile5(values, n_global, axis_name: str):
     gathered data, without gathering (assumes positive data; NaN = absent).
     """
     n = jnp.asarray(n_global, jnp.int32)
-    r25 = (n - 1) // 4
-    r75 = (3 * (n - 1)) // 4
-    r50 = (n - 1) // 2
+    # One 31-round collective search resolves all three ranks (cf. the
+    # single-device batched variant in ops.percentile.percentile5).
+    targets = jnp.stack([(n - 1) // 4, (3 * (n - 1)) // 4, (n - 1) // 2])
+    vb = jnp.broadcast_to(values[..., None, :], values.shape[:-1] + (3, values.shape[-1]))
+    p = find_rank_float(vb, targets, False, axis_name)  # (..., 3)
     out = jnp.stack(
         [
             fmin(values, axis_name),
             fmax(values, axis_name),
-            find_rank_float(values, r25, False, axis_name),
-            find_rank_float(values, r75, False, axis_name),
-            find_rank_float(values, r50, False, axis_name),
+            p[..., 0],
+            p[..., 1],
+            p[..., 2],
         ]
     )
     return out.astype(jnp.float32)
