@@ -51,7 +51,7 @@ def main():
     parser.add_argument("--baselines", type=int, default=2016)
     parser.add_argument("--width", type=int, default=13)
     parser.add_argument("--iters", type=int, default=10)
-    parser.add_argument("--bb", type=int, default=8, help="Pallas baselines-per-block")
+    parser.add_argument("--bb", type=int, default=1, help="Pallas baselines-per-block")
     parser.add_argument("--skip-parity", action="store_true")
     args = parser.parse_args()
 
@@ -95,9 +95,14 @@ def main():
         )
         expected = host_flagger(sub_vis)
         planar = rfi_device.to_planar(sub_vis)
+        sub_t = jnp.asarray(np.moveaxis(planar, 0, 1).copy())
+        # The small parity block needs enough rows per Pallas block (bb*H ≥ 8)
+        pallas_parity = pallas_flagger.flag_transposed(
+            sub_t, width=args.width, n_sigma=11.0, bb=min(8, sub_t.shape[0])
+        )
         for name, got in [
             ("xla", np.asarray(xla_fn(jnp.asarray(planar)))),
-            ("pallas", np.asarray(pallas_fn(jnp.asarray(np.moveaxis(planar, 0, 1).copy()))).T),
+            ("pallas", np.asarray(pallas_parity).T),
         ]:
             mismatches = int((got != expected).sum())
             log(f"parity[{name}]: {mismatches} mismatching flags of {expected.size}")
