@@ -52,6 +52,7 @@ def main():
     parser.add_argument("--width", type=int, default=13)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--bb", type=int, default=1, help="Pallas baselines-per-block")
+    parser.add_argument("--slab", type=int, default=252, help="Pallas baselines-per-dispatch")
     parser.add_argument("--skip-parity", action="store_true")
     args = parser.parse_args()
 
@@ -82,7 +83,9 @@ def main():
     xla_fn = rfi_device.make_flagger_fn(args.width, 11.0, threshold="sum")
 
     def pallas_fn(vis_t):
-        return pallas_flagger.flag_transposed(vis_t, width=args.width, n_sigma=11.0, bb=args.bb)
+        return pallas_flagger.flag_dump(
+            vis_t, slab=args.slab, width=args.width, n_sigma=11.0, bb=args.bb
+        )
 
     # ---- parity check on a subsampled block (vs host oracle) -------------
     if not args.skip_parity:

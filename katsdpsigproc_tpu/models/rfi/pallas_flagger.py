@@ -327,6 +327,25 @@ class FusedFlaggerTemplate:
         )
 
 
+def flag_dump(vis_t, slab: int = 252, **kwargs):
+    """Flag a large dump by slabs of baselines.
+
+    The remote Mosaic AOT service fails on very large grid/buffer sizes
+    (empirically: 252-baseline slabs at 32k channels compile, ≥1008 do
+    not), so production-size dumps are processed as a sequence of
+    identical-shaped slab dispatches — one compilation, async-queued
+    executions.  Keyword arguments are those of :func:`flag_transposed`.
+    """
+    baselines = vis_t.shape[0]
+    if baselines <= slab:
+        return flag_transposed(vis_t, **kwargs)
+    n_full = baselines // slab
+    parts = [flag_transposed(vis_t[i * slab : (i + 1) * slab], **kwargs) for i in range(n_full)]
+    if n_full * slab < baselines:
+        parts.append(flag_transposed(vis_t[n_full * slab :], **kwargs))
+    return jnp.concatenate(parts, axis=0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "n_sigma", "n_windows", "falloff", "flag_value", "bb", "fold",
