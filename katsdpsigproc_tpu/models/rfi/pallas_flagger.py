@@ -327,23 +327,41 @@ class FusedFlaggerTemplate:
         )
 
 
-def flag_dump(vis_t, slab: int = 252, **kwargs):
-    """Flag a large dump by slabs of baselines.
+@functools.partial(
+    jax.jit,
+    static_argnames=("slab", "width", "n_sigma", "n_windows", "falloff", "flag_value", "bb",
+                     "fold", "interpret"),
+)
+def flag_dump(vis_t, slab: int = 252, width: int = 13, n_sigma: float = 11.0,
+              n_windows: int = 4, falloff: float = 1.2, flag_value: int = 1, bb: int = 1,
+              fold: int = 1024, interpret: bool = False):
+    """Flag a large dump by slabs of baselines, as ONE program.
 
     The remote Mosaic AOT service fails on very large grid/buffer sizes
     (empirically: 252-baseline slabs at 32k channels compile, ≥1008 do
-    not), so production-size dumps are processed as a sequence of
-    identical-shaped slab dispatches — one compilation, async-queued
-    executions.  Keyword arguments are those of :func:`flag_transposed`.
+    not), and per-dispatch latency over the remote tunnel makes a Python
+    loop of slab calls latency-bound.  So the slab loop is a ``lax.scan``
+    over one compiled slab kernel inside a single jit: one dispatch, one
+    kernel compilation, sequential slab executions on-device.  Keyword
+    arguments are those of :func:`flag_transposed`.
     """
-    baselines = vis_t.shape[0]
+    kwargs = dict(width=width, n_sigma=n_sigma, n_windows=n_windows, falloff=falloff,
+                  flag_value=flag_value, bb=bb, fold=fold, interpret=interpret)
+    baselines, channels = vis_t.shape[0], vis_t.shape[1]
     if baselines <= slab:
         return flag_transposed(vis_t, **kwargs)
     n_full = baselines // slab
-    parts = [flag_transposed(vis_t[i * slab : (i + 1) * slab], **kwargs) for i in range(n_full)]
+    main = vis_t[: n_full * slab].reshape(n_full, slab, channels, 2)
+
+    def body(_, x):
+        return None, flag_transposed(x, **kwargs)
+
+    _, out = lax.scan(body, None, main)
+    out = out.reshape(n_full * slab, channels)
     if n_full * slab < baselines:
-        parts.append(flag_transposed(vis_t[n_full * slab :], **kwargs))
-    return jnp.concatenate(parts, axis=0)
+        tail = flag_transposed(vis_t[n_full * slab :], **kwargs)
+        out = jnp.concatenate([out, tail], axis=0)
+    return out
 
 
 @functools.partial(
