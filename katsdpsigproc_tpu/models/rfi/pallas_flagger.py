@@ -148,37 +148,38 @@ def _band_max(m_rows, h: int, interpret: bool, g=None):
     return _band_sum(g, first)
 
 
-def _masked_median_rows(members_ref, n, width: int):
-    """Compare-count masked median over the `width` members in scratch.
+def _masked_median_rows(members, n, width: int):
+    """Compare-count masked median over the `width` window members.
 
-    ``members_ref`` is a (width, R, W) VMEM scratch of window members
-    (+inf = absent); `n` the (R, W) valid count.  Stable ranks (ties to
-    the earlier member) make each valid member's rank unique, so the two
-    middle elements are selected by rank equality and summed (averaged —
-    the reference's even-count semantics).
+    ``members`` is a list of (R, W) window member values (+inf = absent);
+    `n` the (R, W) valid count.  Stable ranks (ties to the earlier member)
+    make each valid member's rank unique, so the two middle elements are
+    selected by rank equality and summed (averaged — the reference's
+    even-count semantics).
+
+    The rank loops are STATIC python unrolls: a ``fori_loop`` with
+    dynamically-indexed VMEM scratch serializes on Mosaic (measured ~5%
+    VPU efficiency); the unrolled form keeps members register/VMEM
+    resident and vectorizes.  With the band-folded ≤1024-lane layout the
+    unrolled IR stays within the remote compiler's limits.
     """
     lo_rank = (n - 1) // 2
     hi_rank = n // 2
-    shape = n.shape
-
-    def body_j(j, carry):
-        v_lo, v_hi = carry
-        mj = members_ref[j]
-
-        def body_k(k, r):
-            mk = members_ref[k]
-            lt = (mk < mj) | ((mk == mj) & (k < j))
-            return r + lt.astype(jnp.int32)
-
-        r = lax.fori_loop(0, width, body_k, jnp.zeros(shape, jnp.int32))
+    v_lo = jnp.zeros(n.shape, jnp.float32)
+    v_hi = jnp.zeros(n.shape, jnp.float32)
+    for j in range(width):
+        mj = members[j]
+        r = jnp.zeros(n.shape, jnp.int32)
+        for k in range(width):
+            if k == j:
+                continue
+            if k < j:
+                r = r + (members[k] <= mj).astype(jnp.int32)
+            else:
+                r = r + (members[k] < mj).astype(jnp.int32)
         vj = jnp.where(mj == _INF, 0.0, mj)
         v_lo = v_lo + jnp.where(r == lo_rank, vj, 0.0)
         v_hi = v_hi + jnp.where(r == hi_rank, vj, 0.0)
-        return v_lo, v_hi
-
-    v_lo, v_hi = lax.fori_loop(
-        0, width, body_j, (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
-    )
     return (v_lo + v_hi) * jnp.float32(0.5)
 
 
@@ -241,7 +242,7 @@ def _threshold_sum_band(dev, noise_rows, col, channels: int, n_sigma, n_windows:
     return flags
 
 
-def _flagger_kernel(vis_ref, flags_ref, members_ref, *, width: int, n_sigma: float,
+def _flagger_kernel(vis_ref, flags_ref, *, width: int, n_sigma: float,
                     n_windows: int, falloff: float, flag_value: int, channels: int,
                     h: int, interpret: bool = False):
     re = vis_ref[:, :, 0]
@@ -258,13 +259,14 @@ def _flagger_kernel(vis_ref, flags_ref, members_ref, *, width: int, n_sigma: flo
     # Window members via folded-channel shifts, absent members +inf.
     half = width // 2
     n = jnp.zeros(amp.shape, jnp.int32)
+    members = []
     for d in range(-half, half + 1):
         shifted = _shift_channels(amp, d, interpret)
         valid = (col + d >= 0) & (col + d < channels)
-        members_ref[d + half] = jnp.where(valid, shifted, _INF)
+        members.append(jnp.where(valid, shifted, _INF))
         n = n + valid.astype(jnp.int32)
 
-    med = _masked_median_rows(members_ref, n, width)
+    med = _masked_median_rows(members, n, width)
     dev = amp - med  # garbage on fold padding; masked below
 
     absdev = jnp.where(in_band, jnp.abs(dev), _NAN)
@@ -426,7 +428,6 @@ def flag_transposed(vis_t, width: int = 13, n_sigma: float = 11.0, n_windows: in
         in_specs=[pl.BlockSpec((block_rows, fold, 2), lambda i: (i, 0, 0), memory_space=_VMEM)],
         out_specs=pl.BlockSpec((block_rows, fold), lambda i: (i, 0), memory_space=_VMEM),
         out_shape=jax.ShapeDtypeStruct((baselines * hh, fold), jnp.uint8),
-        scratch_shapes=[pltpu.VMEM((width, block_rows, fold), jnp.float32)],
         interpret=interpret,
         **kwargs,
     )(folded)
