@@ -69,36 +69,41 @@ def masked_median_filter(amp, width: int):
     semantics (background_median_filter.mako:96-145): even valid counts
     average the two middle values.
 
-    Selection is by a **Batcher sorting network** over the ``width``
-    shifted window members (invalid → +inf, sorted to the top): 48
-    min/max exchanges for width 13, all shifted elementwise ops that XLA
-    fuses into one VPU loop — nothing the size of the window stack ever
-    reaches HBM (an axis sort would materialize ``width`` full copies; on
-    a 2016×32k dump that is >100 GB of traffic).  The two middle valid
-    entries sit at ranks ``(n-1)//2`` / ``n//2`` of the sorted window.
+    Selection is by **compare-count ranking**, not sorting: for each of the
+    `width` window members, its stable rank among the valid members is the
+    count of pairwise wins (ties broken by window position).  The two
+    middle elements are then picked by rank-match-and-sum.  This is
+    O(width²) pairwise compares per output, but every term is a shifted
+    elementwise op that XLA fuses into one VPU loop — nothing the size of
+    the window stack ever reaches HBM (a sort would materialize
+    ``width`` full copies; on a 2016×32k dump that is >100 GB of traffic).
     """
-    from . import pallas_flagger as _pf
-
     h = width // 2
     c = amp.shape[0]
     padded = jnp.pad(amp, ((h, h),) + ((0, 0),) * (amp.ndim - 1), constant_values=jnp.nan)
     win = [padded[k : k + c] for k in range(width)]
     nan = [jnp.isnan(w) for w in win]
     n = sum((~m).astype(jnp.int32) for m in nan)
-    arrs = [jnp.where(m, jnp.inf, w) for w, m in zip(win, nan)]
-    for i, j in _pf._batcher_pairs(width):
-        a, b = arrs[i], arrs[j]
-        arrs[i] = jnp.minimum(a, b)
-        arrs[j] = jnp.maximum(a, b)
     lo = (n - 1) // 2
     hi = n // 2
     zero = jnp.zeros(amp.shape, amp.dtype)
     v_lo = zero
     v_hi = zero
-    for k in range(width):
-        vk = jnp.where(jnp.isinf(arrs[k]), 0.0, arrs[k])
-        v_lo = v_lo + jnp.where(lo == k, vk, 0.0)
-        v_hi = v_hi + jnp.where(hi == k, vk, 0.0)
+    for j in range(width):
+        # Stable rank of win[j] among valid members: NaN comparisons are
+        # False, so invalid members never count; ties go to the earlier
+        # position.  NaN members get rank n (never selected).
+        r = jnp.zeros(amp.shape, jnp.int32)
+        for k in range(width):
+            if k == j:
+                continue
+            if k < j:
+                r = r + (win[k] <= win[j])
+            else:
+                r = r + (win[k] < win[j])
+        vj = jnp.where(nan[j], 0.0, win[j])
+        v_lo = v_lo + jnp.where(~nan[j] & (r == lo), vj, 0.0)
+        v_hi = v_hi + jnp.where(~nan[j] & (r == hi), vj, 0.0)
     med = (v_lo + v_hi) * 0.5
     return jnp.where(n > 0, med, jnp.nan), n
 
