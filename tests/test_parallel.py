@@ -154,6 +154,41 @@ class TestShardedFlagger:
         expected = host_flagger(vis, input_flags[:, 0])
         np.testing.assert_equal(out, expected)
 
+    def test_with_full_flags(self, mesh_2d):
+        vis, spikes, input_flags = rfi_test_data(shape=(256, 64), seed=8)
+        fn = pflagger.make_sharded_flagger(
+            mesh_2d, width=13, n_sigma=11.0,
+            use_flags=rfi_device.BackgroundFlags.FULL, threshold="sum",
+        )
+        out = np.asarray(fn(jnp.asarray(vis), jnp.asarray(input_flags)))
+        host_flagger = rfi_host.FlaggerHost(
+            rfi_host.BackgroundMedianFilterHost(13),
+            rfi_host.NoiseEstMADHost(),
+            rfi_host.ThresholdSumHost(11.0),
+        )
+        np.testing.assert_equal(out, host_flagger(vis, input_flags))
+
+    def test_planar_input(self, mesh_2d):
+        vis, _, _ = rfi_test_data(shape=(256, 64), seed=9)
+        fn = pflagger.make_sharded_flagger(mesh_2d, width=13, n_sigma=11.0, threshold="sum")
+        out_c = np.asarray(fn(jnp.asarray(vis)))
+        out_p = np.asarray(fn(jnp.asarray(rfi_device.to_planar(vis))))
+        np.testing.assert_equal(out_c, out_p)
+
+    def test_amplitude_input(self, mesh_1d):
+        vis, _, _ = rfi_test_data(shape=(256, 64), seed=10)
+        amp = np.abs(vis).astype(np.float32)
+        fn = pflagger.make_sharded_flagger(
+            mesh_1d, width=13, n_sigma=11.0, is_amplitude=True, threshold="simple"
+        )
+        out = np.asarray(fn(jnp.asarray(amp)))
+        host_flagger = rfi_host.FlaggerHost(
+            rfi_host.BackgroundMedianFilterHost(13, amplitudes=True),
+            rfi_host.NoiseEstMADHost(),
+            rfi_host.ThresholdSimpleHost(11.0),
+        )
+        np.testing.assert_equal(out, host_flagger(amp))
+
     def test_flag_arg_validation(self, mesh_1d):
         fn = pflagger.make_sharded_flagger(mesh_1d)
         with pytest.raises(TypeError):
