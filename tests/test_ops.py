@@ -158,6 +158,18 @@ class TestRank:
             expected = np.median(values[:, :n_nonzero], axis=-1).astype(np.float32)
             np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-6)
 
+    @pytest.mark.parametrize("radix_bits", [1, 3, 4, 8])
+    def test_radix_widths_agree(self, radix_bits):
+        """Every radix width must reproduce the binary search exactly."""
+        rs = np.random.RandomState(seed=5)
+        values = rs.uniform(1e-6, 1e6, (5, 203)).astype(np.float32)
+        values[0, :50] = values[0, 0]  # heavy ties
+        for target, halfway in [(0, False), (101, True), (202, False), (100, True)]:
+            out = rank.find_rank_float(jnp.asarray(values), target, halfway,
+                                       radix_bits=radix_bits)
+            ref = rank.find_rank_float(jnp.asarray(values), target, halfway, radix_bits=1)
+            np.testing.assert_equal(np.asarray(out), np.asarray(ref))
+
     def test_fmin_fmax(self):
         values = jnp.asarray([[np.nan, 2.0, 7.0, np.nan]], jnp.float32)
         np.testing.assert_equal(np.asarray(rank.fmin(values)), [2.0])
