@@ -49,7 +49,7 @@ def find_rank_float(
     halfway,
     count_fn: Callable = _default_count,
     max_below_fn: Optional[Callable] = None,
-    radix_bits: int = 4,
+    radix_bits: int = 1,
 ):
     """Exact order statistic of positive float32 data via bitwise radix search.
 
@@ -60,11 +60,14 @@ def find_rank_float(
     (reference: rank.mako:197-229).
 
     The reference resolves one bit per round (31 rounds of rank counts,
-    rank.mako:199-206).  Here each round resolves a ``radix_bits``-wide
+    rank.mako:199-206); each round here resolves a ``radix_bits``-wide
     digit by counting against the ``2**radix_bits - 1`` candidate
-    prefixes at once — the same greedy max-prefix result, but the data is
-    swept ``ceil(31/radix_bits)`` times instead of 31 (8 HBM passes for
-    radix 16), and sharded callers pay proportionally fewer psum rounds.
+    prefixes at once — the same greedy max-prefix result in
+    ``ceil(31/radix_bits)`` data sweeps.  Locally the binary search
+    measures fastest on v5e (XLA re-reads the operand per candidate, so
+    wider digits only add compute); sharded callers pass ``radix_bits=4``
+    because there the round count is an inter-chip latency, not a
+    bandwidth, cost.
 
     Parameters
     ----------

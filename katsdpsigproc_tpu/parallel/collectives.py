@@ -39,12 +39,13 @@ def collective_max_below(axis_name: str):
     return max_below
 
 
-def find_rank_float(values, target_rank, halfway, axis_name: str):
+def find_rank_float(values, target_rank, halfway, axis_name: str, radix_bits: int = 4):
     """Distributed exact order statistic over the sharded last axis.
 
     `values` is the local shard (..., N_local); rank counts are psummed so
-    every device computes the same global result (31 × psum of (batch,)
-    int32 — see module docstring).
+    every device computes the same global result.  Radix-16 digits resolve
+    4 bits per round, so the search costs 8 tiny all-reduce rounds instead
+    of 31 — across hosts the round count is pure latency.
     """
     return rank_ops.find_rank_float(
         values,
@@ -52,12 +53,16 @@ def find_rank_float(values, target_rank, halfway, axis_name: str):
         halfway,
         count_fn=collective_count(axis_name),
         max_below_fn=collective_max_below(axis_name),
+        radix_bits=radix_bits,
     )
 
 
 def median_non_zero(values, n_global, axis_name: str):
     """Distributed median of non-zero values (reference rank.mako:253-267 semantics)."""
-    return rank_ops.median_non_zero(values, n_global, count_fn=collective_count(axis_name))
+    count_fn = collective_count(axis_name)
+    z = rank_ops.zeros(values, count_fn)
+    rank2 = jnp.asarray(n_global, jnp.int32) + z
+    return find_rank_float(values, rank2 // 2, (rank2 & 1) == 0, axis_name)
 
 
 def fmin(values, axis_name: str):
