@@ -40,7 +40,8 @@ def benchmark1d(args, data):
     if args.width % 2 != 1:
         raise ValueError("Width must be odd")
     fn = rfi_device.make_flagger_fn(args.width, args.sigmas, threshold="sum")
-    vis = jnp.asarray(data)
+    # Planar split-complex layout: TPU backends have no complex dtype
+    vis = jnp.asarray(rfi_device.to_planar(data))
     start = time.perf_counter()
     flags = np.asarray(jax.block_until_ready(fn(vis)))
     print(f"Device compile+run: {(time.perf_counter() - start) * 1000:.1f} ms", file=sys.stderr)
