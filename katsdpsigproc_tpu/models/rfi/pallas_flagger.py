@@ -268,9 +268,13 @@ def _threshold_sum_band(dev, noise_rows, col, channels: int, n_sigma, n_windows:
     return flags
 
 
-def _flagger_kernel(vis_ref, flags_ref, *, width: int, n_sigma: float,
+def _flagger_kernel(vis_ref, *refs, width: int, n_sigma: float,
                     n_windows: int, falloff: float, flag_value: int, channels: int,
-                    h: int, interpret: bool = False):
+                    h: int, use_flags: bool = False, interpret: bool = False):
+    if use_flags:
+        in_flags_ref, flags_ref = refs
+    else:
+        (flags_ref,) = refs
     re = vis_ref[:, :, 0]
     im = vis_ref[:, :, 1]
     amp = jnp.sqrt(re * re + im * im)  # (R, W)
@@ -282,18 +286,33 @@ def _flagger_kernel(vis_ref, flags_ref, *, width: int, n_sigma: float,
     in_band = col < channels
     g = _band_matrix(rows, h)
 
+    if use_flags:
+        # Flagged samples become +inf: the shift machinery then carries
+        # their absence into every window automatically (the reference's
+        # -1 sentinel, background_median_filter.mako:160-162, inverted to
+        # +inf so the sorting network pushes them past valid members).
+        amp = jnp.where(in_flags_ref[...].astype(jnp.int32) > 0, _INF, amp)
+
     # Window members via folded-channel shifts, absent members +inf.
     half = width // 2
-    n = jnp.zeros(amp.shape, jnp.int32)
     members = []
     for d in range(-half, half + 1):
         shifted = _shift_channels(amp, d, interpret)
         valid = (col + d >= 0) & (col + d < channels)
         members.append(jnp.where(valid, shifted, _INF))
-        n = n + valid.astype(jnp.int32)
+    if use_flags:
+        n = jnp.zeros(amp.shape, jnp.int32)
+        for m in members:
+            n = n + (m != _INF).astype(jnp.int32)
+    else:
+        n = jnp.zeros(amp.shape, jnp.int32)
+        for d in range(-half, half + 1):
+            n = n + ((col + d >= 0) & (col + d < channels)).astype(jnp.int32)
 
     med = _masked_median_rows(members, n, width)
-    dev = amp - med  # garbage on fold padding; masked below
+    # Flagged centres (amp == inf) map to deviation 0 (host semantics:
+    # NaN deviations fill to 0, host.py BackgroundMedianFilterHost).
+    dev = jnp.where(amp == _INF, 0.0, amp - med)  # garbage on fold padding; masked below
 
     absdev = jnp.where(in_band, jnp.abs(dev), _NAN)
     noise_rows = _madnz_band(absdev, g, h, channels, interpret)
@@ -342,9 +361,10 @@ class FusedFlaggerTemplate:
 
         return _tune.autotune(generate, bb=[1, 2, 4, 8])
 
-    def __call__(self, vis_t, n_sigma: float = 11.0, interpret: bool = False):
+    def __call__(self, vis_t, input_flags=None, n_sigma: float = 11.0, interpret: bool = False):
         return flag_transposed(
             vis_t,
+            input_flags,
             width=self.width,
             n_sigma=n_sigma,
             n_windows=self.n_windows,
@@ -360,9 +380,9 @@ class FusedFlaggerTemplate:
     static_argnames=("slab", "width", "n_sigma", "n_windows", "falloff", "flag_value", "bb",
                      "fold", "interpret"),
 )
-def flag_dump(vis_t, slab: int = 252, width: int = 13, n_sigma: float = 11.0,
-              n_windows: int = 4, falloff: float = 1.2, flag_value: int = 1, bb: int = 1,
-              fold: int = 1024, interpret: bool = False):
+def flag_dump(vis_t, input_flags=None, slab: int = 252, width: int = 13,
+              n_sigma: float = 11.0, n_windows: int = 4, falloff: float = 1.2,
+              flag_value: int = 1, bb: int = 1, fold: int = 1024, interpret: bool = False):
     """Flag a large dump by slabs of baselines, as ONE program.
 
     The remote Mosaic AOT service fails on very large grid/buffer sizes
@@ -377,17 +397,23 @@ def flag_dump(vis_t, slab: int = 252, width: int = 13, n_sigma: float = 11.0,
                   flag_value=flag_value, bb=bb, fold=fold, interpret=interpret)
     baselines, channels = vis_t.shape[0], vis_t.shape[1]
     if baselines <= slab:
-        return flag_transposed(vis_t, **kwargs)
+        return flag_transposed(vis_t, input_flags, **kwargs)
     n_full = baselines // slab
     main = vis_t[: n_full * slab].reshape(n_full, slab, channels, 2)
+    xs = (main,)
+    if input_flags is not None:
+        xs = (main, input_flags[: n_full * slab].reshape(n_full, slab, channels))
 
     def body(_, x):
-        return None, flag_transposed(x, **kwargs)
+        if input_flags is not None:
+            return None, flag_transposed(x[0], x[1], **kwargs)
+        return None, flag_transposed(x[0], **kwargs)
 
-    _, out = lax.scan(body, None, main)
+    _, out = lax.scan(body, None, xs)
     out = out.reshape(n_full * slab, channels)
     if n_full * slab < baselines:
-        tail = flag_transposed(vis_t[n_full * slab :], **kwargs)
+        tail_flags = None if input_flags is None else input_flags[n_full * slab :]
+        tail = flag_transposed(vis_t[n_full * slab :], tail_flags, **kwargs)
         out = jnp.concatenate([out, tail], axis=0)
     return out
 
@@ -397,15 +423,18 @@ def flag_dump(vis_t, slab: int = 252, width: int = 13, n_sigma: float = 11.0,
     static_argnames=("width", "n_sigma", "n_windows", "falloff", "flag_value", "bb", "fold",
                      "interpret"),
 )
-def flag_transposed(vis_t, width: int = 13, n_sigma: float = 11.0, n_windows: int = 4,
-                    falloff: float = 1.2, flag_value: int = 1, bb: int = 4,
-                    fold: int = 1024, interpret: bool = False):
+def flag_transposed(vis_t, input_flags=None, width: int = 13, n_sigma: float = 11.0,
+                    n_windows: int = 4, falloff: float = 1.2, flag_value: int = 1,
+                    bb: int = 4, fold: int = 1024, interpret: bool = False):
     """Fused flagger on baseline-major planar visibilities.
 
     Parameters
     ----------
     vis_t
         (baselines, channels, 2) float32 split-complex visibilities.
+    input_flags
+        Optional (baselines, channels) uint8 prior flags (the reference's
+        FULL mode; broadcast CHANNEL flags before calling).
     bb
         Baselines per grid step (VMEM budget knob; the tuning dimension).
     fold
@@ -429,6 +458,8 @@ def flag_transposed(vis_t, width: int = 13, n_sigma: float = 11.0, n_windows: in
     padded_c = hh * fold
     if padded_c != channels:
         vis_t = jnp.pad(vis_t, ((0, 0), (0, padded_c - channels), (0, 0)))
+        if input_flags is not None:
+            input_flags = jnp.pad(input_flags, ((0, 0), (0, padded_c - channels)))
     # Band-folded rows: row b*hh + h holds channels [h*fold, (h+1)*fold)
     folded = vis_t.reshape(baselines * hh, fold, 2)
     block_rows = bb * hh
@@ -440,21 +471,27 @@ def flag_transposed(vis_t, width: int = 13, n_sigma: float = 11.0, n_windows: in
         n_windows=n_windows,
         falloff=falloff,
         flag_value=flag_value,
-        channels=padded_c if padded_c == channels else channels,
+        channels=channels,
         h=hh,
+        use_flags=input_flags is not None,
         interpret=interpret,
     )
     kwargs = {}
     if not interpret and pltpu is not None:
         # The default scoped-VMEM limit is 16 MiB; v5e has 128 MiB physical.
         kwargs["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    in_specs = [pl.BlockSpec((block_rows, fold, 2), lambda i: (i, 0, 0), memory_space=_VMEM)]
+    operands = [folded]
+    if input_flags is not None:
+        in_specs.append(pl.BlockSpec((block_rows, fold), lambda i: (i, 0), memory_space=_VMEM))
+        operands.append(input_flags.reshape(baselines * hh, fold))
     out = pl.pallas_call(
         kernel,
         grid=(baselines // bb,),
-        in_specs=[pl.BlockSpec((block_rows, fold, 2), lambda i: (i, 0, 0), memory_space=_VMEM)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((block_rows, fold), lambda i: (i, 0), memory_space=_VMEM),
         out_shape=jax.ShapeDtypeStruct((baselines * hh, fold), jnp.uint8),
         interpret=interpret,
         **kwargs,
-    )(folded)
+    )(*operands)
     return out.reshape(baselines, padded_c)[:, :channels]
