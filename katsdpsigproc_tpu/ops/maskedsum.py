@@ -13,7 +13,7 @@ read) followed by the same matvec.  No tuning dimension survives: MXU
 matmul tiling is XLA's job.
 """
 
-from typing import Any, Mapping, Optional, Tuple
+from typing import Any, Mapping, Tuple
 
 import jax.numpy as jnp
 

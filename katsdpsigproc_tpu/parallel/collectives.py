@@ -10,8 +10,7 @@ These functions must be called inside ``shard_map`` (or ``pjit`` bodies
 with manual axes) where `axis_name` is bound.
 """
 
-import functools
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

@@ -30,8 +30,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
-from jax.sharding import NamedSharding, PartitionSpec as P
+
+from jax.sharding import PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ..models.rfi import MAD_NORMAL, device as rfi_device

@@ -10,7 +10,7 @@ process error aborts the job; there is no elastic recovery.
 """
 
 import logging
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 

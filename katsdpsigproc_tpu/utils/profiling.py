@@ -14,7 +14,7 @@ profilers (cuda.py:48-51).  The TPU-native equivalents (SURVEY.md §5):
 
 import contextlib
 import time
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 
