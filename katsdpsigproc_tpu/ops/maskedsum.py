@@ -82,7 +82,20 @@ class MaskedSum(base.Operation):
 
 
 def maskedsum(src, mask, use_amplitudes: bool = False):
-    """Functional masked column sum (MXU matvec)."""
+    """Functional masked column sum (MXU matvec).
+
+    `src` may be complex64 (rows, cols) or planar (rows, cols, 2) float32
+    (the TPU layout — no complex dtype on TPU backends).  Planar
+    non-amplitude output is planar (cols, 2).
+    """
+    if src.ndim == 3 and not jnp.issubdtype(src.dtype, jnp.complexfloating):
+        if use_amplitudes:
+            amp = jnp.sqrt(src[..., 0] ** 2 + src[..., 1] ** 2)
+            return jnp.dot(mask, amp, preferred_element_type=jnp.float32)
+        # One MXU matvec over the flattened (rows, 2*cols) view
+        rows, cols = src.shape[0], src.shape[1]
+        flat = jnp.dot(mask, src.reshape(rows, cols * 2), preferred_element_type=jnp.float32)
+        return flat.reshape(cols, 2)
     if use_amplitudes:
         return jnp.dot(mask, jnp.abs(src), preferred_element_type=jnp.float32)
     # Complex64 matvec: XLA decomposes into real MXU matmuls.

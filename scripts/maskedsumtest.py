@@ -37,23 +37,26 @@ def main():
     src = (rs.standard_normal((args.rows, args.cols))
            + 1j * rs.standard_normal((args.rows, args.cols))).astype(np.complex64)
     mask = rs.uniform(size=(args.rows,)).astype(np.float32)
-    template = maskedsum.MaskedSumTemplate(ctx, args.amplitudes)
-    op = template.instantiate(None, src.shape)
-    v, m = jnp.asarray(src), jnp.asarray(mask)
-    out = np.asarray(jax.block_until_ready(op(src=v, mask=m)["dest"]))
+    # Planar layout on device (no complex dtype on TPU backends)
+    from katsdpsigproc_tpu.models.rfi.device import to_planar
+
+    maskedsum.MaskedSumTemplate(ctx, args.amplitudes)  # exercise the template path
+    fn = jax.jit(lambda s, m: maskedsum.maskedsum(s, m, args.amplitudes))
+    v, m = jnp.asarray(to_planar(src)), jnp.asarray(mask)
+    out = np.asarray(jax.block_until_ready(fn(v, m)))
 
     start = time.perf_counter()
     if args.amplitudes:
         expected = (mask[:, None] * np.abs(src)).sum(axis=0)
     else:
-        expected = (mask[:, None] * src).sum(axis=0)
+        expected = to_planar((mask[:, None] * src).sum(axis=0))
     print(f"numpy: {(time.perf_counter() - start) * 1e3:.1f} ms", file=sys.stderr)
     np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-3)
 
     times = []
     for _ in range(args.iters):
         start = time.perf_counter()
-        jax.block_until_ready(op(src=v, mask=m)["dest"])
+        jax.block_until_ready(fn(v, m))
         times.append(time.perf_counter() - start)
     print(f"device: {float(np.median(times)) * 1e3:.3f} ms/iter", file=sys.stderr)
 

@@ -35,17 +35,20 @@ def main():
     template = transpose.TransposeTemplate(
         ctx, np.complex64, tuning={"engine": args.engine, "tile_r": 256, "tile_c": 256}
     )
-    op = template.instantiate(None, (args.rows, args.cols))
     rs = np.random.RandomState(seed=1)
     src = (rs.standard_normal((args.rows, args.cols))
            + 1j * rs.standard_normal((args.rows, args.cols))).astype(np.complex64)
-    v = jnp.asarray(src)
-    out = jax.block_until_ready(op(src=v)["dest"])
-    np.testing.assert_array_equal(np.asarray(out)[:8, :8], src.T[:8, :8])
+    # Planar split-complex on device (no complex dtype on TPU backends)
+    from katsdpsigproc_tpu.models.rfi.device import to_planar
+
+    fn = jax.jit(lambda x: transpose.transpose(x, template))
+    v = jnp.asarray(to_planar(src))
+    out = np.asarray(jax.block_until_ready(fn(v)))
+    np.testing.assert_array_equal(out[:8, :8], to_planar(src.T)[:8, :8])
     times = []
     for _ in range(args.iters):
         start = time.perf_counter()
-        jax.block_until_ready(op(src=v)["dest"])
+        jax.block_until_ready(fn(v))
         times.append(time.perf_counter() - start)
     dt = float(np.median(times))
     nbytes = 2 * src.nbytes

@@ -82,6 +82,24 @@ class TestMaskedSum:
         np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5, atol=1e-4)
 
 
+class TestMaskedSumPlanar:
+    @pytest.mark.parametrize("use_amplitudes", [False, True])
+    def test_matches_complex(self, ctx, use_amplitudes):
+        from katsdpsigproc_tpu.models.rfi.device import to_planar
+
+        rs = np.random.RandomState(seed=2)
+        src = complex_normal(rs, size=(37, 53)).astype(np.complex64)
+        mask = rs.uniform(size=(37,)).astype(np.float32)
+        out_c = np.asarray(maskedsum.maskedsum(jnp.asarray(src), jnp.asarray(mask), use_amplitudes))
+        out_p = np.asarray(
+            maskedsum.maskedsum(jnp.asarray(to_planar(src)), jnp.asarray(mask), use_amplitudes)
+        )
+        if use_amplitudes:
+            np.testing.assert_allclose(out_p, out_c, rtol=1e-5, atol=1e-5)
+        else:
+            np.testing.assert_allclose(out_p, to_planar(out_c), rtol=1e-5, atol=1e-5)
+
+
 class TestHReduce:
     @pytest.mark.parametrize(
         "op_name,np_fn", [("plus", np.sum), ("max", np.max), ("min", np.min)]
