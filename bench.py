@@ -146,15 +146,31 @@ def main():
     n_vis = args.channels * args.baselines
     planar = rfi_device.to_planar(vis_np)
 
+    @jax.jit
+    def _summarize(flags):
+        return jnp.sum(flags.astype(jnp.int32))
+
     def time_thunk(thunk):
-        jax.block_until_ready(thunk())  # compile + warm
-        times = []
+        """Seconds per full-dump iteration, dispatch floor amortized.
+
+        This environment's remote tunnel has a ~29 ms per-blocking-sync
+        floor (BASELINE_RESULTS.md), so each iteration's outputs are
+        reduced on-device into an accumulator and only the final scalar is
+        fetched — executions serialize on the chip, so the total window is
+        honest compute while the sync cost amortizes over all iterations.
+        """
+        out = thunk()
+        jax.block_until_ready(out)  # compile + warm
+        start = time.perf_counter()
+        acc = None
         for _ in range(args.iters):
-            start = time.perf_counter()
             out = thunk()
-            jax.block_until_ready(out)
-            times.append(time.perf_counter() - start)
-        return float(np.median(times))
+            parts = out if isinstance(out, list) else [out]
+            for part in parts:
+                s = _summarize(part)
+                acc = s if acc is None else acc + s
+        np.asarray(acc)  # force everything
+        return (time.perf_counter() - start) / args.iters
 
     results = {}
     try:
