@@ -150,10 +150,14 @@ class Operation:
 
     def __call__(self, **inputs):
         if inputs:
-            for name in self.input_slots():
+            in_slots = self.input_slots()
+            for name in in_slots:
                 if name not in inputs:
                     raise KeyError(f"missing input {name!r}")
-            outputs = self._compiled()({k: inputs[k] for k in self.input_slots()})
+            for name in inputs:
+                if name not in in_slots:
+                    raise KeyError(f"unknown input {name!r}")
+            outputs = self._compiled()({k: inputs[k] for k in in_slots})
             return outputs
         # Bound style: consume bound inputs, store outputs for buffer().
         self.ensure_all_bound()
