@@ -45,6 +45,171 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def emit(metric, value, unit, vs_baseline):
+    print(json.dumps({
+        "metric": metric, "value": value, "unit": unit, "vs_baseline": vs_baseline,
+    }))
+
+
+def _accum_timer(iters):
+    """Fetch-forced accumulate timing.
+
+    This environment's remote tunnel has a ~29 ms per-blocking-sync floor
+    and its ``block_until_ready`` does not force remote completion
+    (BASELINE_RESULTS.md), so each iteration's outputs are reduced
+    on-device into an accumulator and only the final scalar is fetched —
+    executions serialize on the chip, so the total window is honest
+    compute while the sync cost amortizes over all iterations.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _summarize(x):
+        leaves = jax.tree_util.tree_leaves(x)
+        return sum(jnp.sum(leaf.astype(jnp.float32)) for leaf in leaves)
+
+    def time_thunk(thunk):
+        out = thunk()
+        np.asarray(_summarize(out))  # compile + warm (one fetch)
+        start = time.perf_counter()
+        acc = None
+        for _ in range(iters):
+            out = thunk()
+            parts = out if isinstance(out, list) else [out]
+            for part in parts:
+                s = _summarize(part)
+                acc = s if acc is None else acc + s
+        np.asarray(acc)  # force everything
+        return (time.perf_counter() - start) / iters
+
+    return time_thunk
+
+
+def _hbm_gbps():
+    import jax
+
+    device = jax.devices()[0]
+    log(f"device: {device} ({device.device_kind})")
+    return next((v for k, v in HBM_GBPS.items() if k in device.device_kind), DEFAULT_HBM_GBPS)
+
+
+def bench_config1(args):
+    """BASELINE.json config 1: rfiflagtest single-baseline synthetic —
+    1k channels × 3k times, 2-D MAD+SumThreshold flagger (twodflag)."""
+    import jax.numpy as jnp
+
+    from katsdpsigproc_tpu.models.rfi import twodflag
+
+    times, channels, baselines = 3000, 1024, 1
+    rs = np.random.RandomState(seed=1)
+    shape = (times, channels, baselines)
+    amp = np.abs(
+        rs.standard_normal(shape) + 1j * rs.standard_normal(shape)
+    ).astype(np.float32)
+    flagger = twodflag.SumThresholdFlagger()
+    impl = flagger._impl(shape)
+    vis = jnp.asarray(amp)
+    flags = jnp.zeros(shape, bool)
+    dt = _accum_timer(args.iters)(lambda: impl(vis, flags))
+    n_vis = times * channels * baselines
+    log(f"config1 twodflag {times}x{channels}x{baselines}: {dt * 1e3:.3f} ms "
+        f"({n_vis / dt / 1e6:.1f} Mvis/s)")
+    # Reference's numba path: ~0.3 Mvis/s per CPU core (BASELINE_RESULTS.md)
+    emit("twodflag_1kx3k_visibilities_per_second", n_vis / dt, "vis/s",
+         (n_vis / dt) / 0.3e6)
+
+
+def bench_config2(args):
+    """BASELINE.json config 2: batched rank-select (percentile5) and masked
+    reductions (maskedsum) over 64 baselines × 4k channels."""
+    import jax.numpy as jnp
+
+    from katsdpsigproc_tpu.ops import maskedsum as ms, percentile as pct
+
+    rows, cols = 64, 4096
+    rs = np.random.RandomState(seed=1)
+    data = np.abs(rs.standard_normal((rows, cols))).astype(np.float32)
+    # maskedsum operates column-wise over (channels, baselines) complex data
+    # in the planar layout (reference maskedsum.mako:38-68).
+    cdata = (rs.standard_normal((cols, rows)) + 1j * rs.standard_normal((cols, rows)))
+    planar = np.stack([cdata.real, cdata.imag], axis=-1).astype(np.float32)
+    mask = rs.random_sample(cols).astype(np.float32)
+
+    x = jnp.asarray(data)
+    xc = jnp.asarray(planar)
+    xm = jnp.asarray(mask)
+    timer = _accum_timer(args.iters)
+    dt_pct = timer(lambda: pct.percentile5(x))
+    dt_ms = timer(lambda: ms.maskedsum(xc, xm))
+    n = rows * cols
+    log(f"config2 percentile5 {rows}x{cols}: {dt_pct * 1e3:.3f} ms "
+        f"({n / dt_pct / 1e9:.2f} Gelem/s)")
+    log(f"config2 maskedsum {cols}x{rows}: {dt_ms * 1e3:.3f} ms "
+        f"({n / dt_ms / 1e9:.2f} Gelem/s)")
+    hbm = _hbm_gbps()
+    emit("percentile5_64x4k_elements_per_second", n / dt_pct, "elem/s",
+         (n * 4 / dt_pct) / (TARGET_FRACTION * hbm * 1e9))
+    emit("maskedsum_4kx64_elements_per_second", n / dt_ms, "elem/s",
+         (n * 8 / dt_ms) / (TARGET_FRACTION * hbm * 1e9))
+
+
+def bench_config3(args):
+    """BASELINE.json config 3: 2016 baselines × 8k channels corner-turn
+    (transpose) + row reduction feeding the flagger pipeline."""
+    import jax.numpy as jnp
+
+    from katsdpsigproc_tpu.ops import transpose as tr
+
+    rows, cols = 8192, 2016
+    rs = np.random.RandomState(seed=1)
+    data = (rs.standard_normal((rows, cols, 2))).astype(np.float32)  # planar c64
+    x = jnp.asarray(data)
+    timer = _accum_timer(args.iters)
+    dt = timer(lambda: tr.transpose(x))
+    nbytes = rows * cols * 8 * 2  # read + write
+    hbm = _hbm_gbps()
+    log(f"config3 transpose {rows}x{cols} c64-planar: {dt * 1e3:.3f} ms "
+        f"({nbytes / dt / 1e9:.1f} GB/s)")
+    emit("transpose_8kx2016_bytes_per_second", nbytes / dt, "B/s",
+         (nbytes / dt) / (TARGET_FRACTION * hbm * 1e9))
+
+
+def bench_config4(args):
+    """BASELINE.json config 4: FFT-path spectral flagging — r2c FFT +
+    MAD threshold + c2r over 256 baselines × 32k samples on one chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from katsdpsigproc_tpu.models.rfi import MAD_NORMAL
+    from katsdpsigproc_tpu.ops import rank
+
+    b, c = 256, 32768
+    rs = np.random.RandomState(seed=1)
+    data = rs.standard_normal((b, c)).astype(np.float32)
+
+    @jax.jit
+    def spectral_flag(x):
+        spectrum = jnp.fft.rfft(x, axis=-1)
+        amp = jnp.abs(spectrum).astype(jnp.float32)
+        noise = MAD_NORMAL * rank.median_non_zero(amp)
+        flags = amp > 5.0 * noise[:, None]
+        cleaned = jnp.where(flags, 0.0, spectrum)
+        out = jnp.fft.irfft(cleaned, n=c, axis=-1)
+        return flags.astype(jnp.uint8), out.astype(jnp.float32)
+
+    x = jnp.asarray(data)
+    dt = _accum_timer(args.iters)(lambda: spectral_flag(x))
+    n = b * c
+    log(f"config4 fft spectral flag {b}x{c}: {dt * 1e3:.3f} ms "
+        f"({n / dt / 1e9:.2f} Gsamples/s)")
+    # 5 FLOPs/sample/log2 for each of the two FFTs, vs chip peak irrelevant;
+    # report vs the HBM-roofline minimum traffic (r4+w4+w1 B/sample).
+    hbm = _hbm_gbps()
+    emit("fft_spectral_flag_samples_per_second", n / dt, "samples/s",
+         (n * 9 / dt) / (TARGET_FRACTION * hbm * 1e9))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--channels", type=int, default=32768)
@@ -54,7 +219,27 @@ def main():
     parser.add_argument("--bb", type=int, default=1, help="Pallas baselines-per-block")
     parser.add_argument("--slab", type=int, default=252, help="Pallas baselines-per-dispatch")
     parser.add_argument("--skip-parity", action="store_true")
+    parser.add_argument(
+        "--config", choices=["1", "2", "3", "4", "5", "all"],
+        help="Run a BASELINE.json config benchmark instead of the headline "
+             "(5 = the headline MeerKAT dump; 'all' runs every config). "
+             "Emits one JSON line per benchmark.",
+    )
     args = parser.parse_args()
+
+    from katsdpsigproc_tpu.utils import backend as _backend
+
+    _backend.apply_platform_env()
+
+    if args.config and args.config != "5":
+        benches = {"1": bench_config1, "2": bench_config2, "3": bench_config3,
+                   "4": bench_config4}
+        picked = list(benches.values()) if args.config == "all" else [benches[args.config]]
+        for fn in picked:
+            fn(args)
+        if args.config != "all":
+            return
+        # fall through to the headline (config 5) for 'all'
 
     import jax
     import jax.numpy as jnp
@@ -68,6 +253,9 @@ def main():
     device = jax.devices()[0]
     log(f"device: {device} ({device.device_kind})")
     hbm = next((v for k, v in HBM_GBPS.items() if k in device.device_kind), DEFAULT_HBM_GBPS)
+    # Pallas compiles to Mosaic only on TPU-like platforms; elsewhere
+    # (CPU smoke runs) fall back to interpret mode.
+    interpret = device.platform == "cpu"
 
     rs = np.random.RandomState(seed=1)
     shape = (args.channels, args.baselines)
@@ -90,7 +278,8 @@ def main():
 
     def pallas_fn(vis_t):
         return pallas_flagger.flag_dump(
-            vis_t, slab=args.slab, width=args.width, n_sigma=11.0, bb=args.bb
+            vis_t, slab=args.slab, width=args.width, n_sigma=11.0, bb=args.bb,
+            interpret=interpret,
         )
 
     def pallas_slab_fns(vis_t_np):
@@ -111,7 +300,9 @@ def main():
 
         def fn():
             return [
-                pallas_flagger.flag_transposed(s, width=args.width, n_sigma=11.0, bb=args.bb)
+                pallas_flagger.flag_transposed(
+                    s, width=args.width, n_sigma=11.0, bb=args.bb, interpret=interpret
+                )
                 for s in slabs
             ]
 
@@ -131,7 +322,8 @@ def main():
         sub_t = jnp.asarray(np.moveaxis(planar, 0, 1).copy())
         # The small parity block needs enough rows per Pallas block (bb*H ≥ 8)
         pallas_parity = pallas_flagger.flag_transposed(
-            sub_t, width=args.width, n_sigma=11.0, bb=min(8, sub_t.shape[0])
+            sub_t, width=args.width, n_sigma=11.0, bb=min(8, sub_t.shape[0]),
+            interpret=interpret,
         )
         for name, got in [
             ("xla", np.asarray(xla_parity_fn(jnp.asarray(planar)))),

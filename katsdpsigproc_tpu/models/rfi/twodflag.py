@@ -36,6 +36,7 @@ import numpy as np
 from jax import lax
 
 from . import MAD_NORMAL
+from ...ops import rank as rank_ops
 
 _MAX_BOX_RADIUS_PASSES = 4
 
@@ -51,17 +52,20 @@ def _masked_median_axis0(data, valid, *, empty_value):
     Averages the two central values for even counts (np.median semantics,
     as used throughout the reference's masked medians,
     twodflag.py:119-196).  Returns an array of shape ``data.shape[1:]``.
+
+    All twodflag medians run on non-negative float32 (amplitudes or
+    absolute residuals), so the exact bitwise rank search applies
+    (reference rank.mako:186-231): 31 vectorized compare-count rounds
+    instead of an axis sort — no sorted intermediate, fuses with the
+    surrounding graph.  Masked entries become NaN ("absent" in the rank
+    machinery); ``result + prev) * 0.5`` reproduces np.median's central
+    averaging bit for bit.
     """
-    n_rows = data.shape[0]
-    big = jnp.asarray(jnp.inf, data.dtype)
-    vals = jnp.where(valid, data, big)
-    s = jnp.sort(vals, axis=0)
+    vals = jnp.where(valid, data, jnp.nan)
+    # Search along the last axis, batched over the rest.
+    vals_t = jnp.moveaxis(vals, 0, -1)
     n = jnp.sum(valid, axis=0, dtype=jnp.int32)
-    lo = jnp.clip((n - 1) // 2, 0, n_rows - 1)
-    hi = jnp.clip(n // 2, 0, n_rows - 1)
-    v_lo = jnp.take_along_axis(s, lo[None], axis=0)[0]
-    v_hi = jnp.take_along_axis(s, hi[None], axis=0)[0]
-    med = (v_lo + v_hi) * 0.5
+    med = rank_ops.find_rank_float(vals_t, n // 2, (n & 1) == 0, unroll=False)
     return jnp.where(n > 0, med, jnp.asarray(empty_value, data.dtype))
 
 

@@ -50,6 +50,7 @@ def find_rank_float(
     count_fn: Callable = _default_count,
     max_below_fn: Optional[Callable] = None,
     radix_bits: int = 1,
+    unroll: bool = True,
 ):
     """Exact order statistic of positive float32 data via bitwise radix search.
 
@@ -88,6 +89,13 @@ def find_rank_float(
     radix_bits
         Bits resolved per data sweep (1 reproduces the reference's binary
         search exactly).
+    unroll
+        When true (default) the rounds are unrolled into the traced graph
+        (best for a single search site — XLA sees the whole chain).  When
+        false the uniform-width rounds run under ``lax.fori_loop``, keeping
+        the graph ~31x smaller — use this when many searches appear in one
+        program (e.g. the 2-D flagger's per-chunk medians), where unrolling
+        explodes compile time.
     """
     values = jnp.asarray(values)
     target_rank = jnp.asarray(target_rank, jnp.int32)
@@ -104,7 +112,7 @@ def find_rank_float(
         width = pos % radix_bits or radix_bits
         pos -= width
         shifts.append((pos, width))
-    for shift, width in shifts:
+    def round_(cur, shift, width):
         k = (1 << width) - 1
         j = jnp.arange(1, k + 1, dtype=jnp.int32)  # (k,)
         cand_bits = cur[..., None] | (j << shift)
@@ -113,7 +121,23 @@ def find_rank_float(
         # counts are non-decreasing in j, so the admissible j's form a
         # prefix and the chosen digit is their count.
         digit = jnp.sum((counts <= target_b[..., None]).astype(jnp.int32), axis=-1)
-        cur = cur | (digit << shift)
+        return cur | (digit << shift)
+
+    if unroll:
+        for shift, width in shifts:
+            cur = round_(cur, shift, width)
+    else:
+        # First (possibly narrower) round unrolled; the remaining
+        # uniform-width rounds as one fori_loop with a decreasing shift.
+        (shift0, width0), rest = shifts[0], shifts[1:]
+        cur = round_(cur, shift0, width0)
+        if rest:
+            start = rest[0][0]
+            cur = lax.fori_loop(
+                0, len(rest),
+                lambda i, c: round_(c, start - i * radix_bits, radix_bits),
+                cur,
+            )
     result = lax.bitcast_convert_type(cur, jnp.float32)
 
     # Halfway correction: if result's strict rank equals target exactly, the
