@@ -114,6 +114,26 @@ def _median_abs_axis0(data, flags):
     return _masked_median_axis0(jnp.abs(data), ~flags, empty_value=jnp.nan)[None]
 
 
+def _fill_scan(data, valid, *, reverse: bool):
+    """Value of the nearest valid element at-or-before (at-or-after when
+    `reverse`) each position along the last axis; 0 where none exists.
+
+    A ``lax.associative_scan`` with a "keep the latest valid" combiner —
+    log-depth selects instead of a gather (``take_along_axis`` lowers to
+    per-element gathers on TPU and measured ~15x the cost of the whole
+    surrounding filter)."""
+    vals = jnp.where(valid, data, 0.0)
+    flags = valid.astype(data.dtype)
+
+    def comb(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf > 0, bv, av), jnp.maximum(af, bf)
+
+    v, _ = lax.associative_scan(comb, (vals, flags), axis=data.ndim - 1, reverse=reverse)
+    return v
+
+
 def _linearly_interpolate_nans1d(data):
     """Replace NaNs by linear interpolation along the last axis.
 
@@ -130,10 +150,8 @@ def _linearly_interpolate_nans1d(data):
     )
     has_fwd = fwd >= 0
     has_bwd = bwd <= n - 1  # bwd == n when none ahead
-    fwd_c = jnp.clip(fwd, 0, n - 1)
-    bwd_c = jnp.clip(bwd, 0, n - 1)
-    v_fwd = jnp.take_along_axis(data, fwd_c, axis=-1)
-    v_bwd = jnp.take_along_axis(data, bwd_c, axis=-1)
+    v_fwd = _fill_scan(data, valid, reverse=False)
+    v_bwd = _fill_scan(data, valid, reverse=True)
     span = jnp.maximum(bwd - fwd, 1)
     interp = v_fwd + (idx - fwd) * (v_bwd - v_fwd) / span
     out = jnp.where(valid, data, jnp.where(
