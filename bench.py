@@ -217,6 +217,8 @@ def main():
     parser.add_argument("--width", type=int, default=13)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--bb", type=int, default=1, help="Pallas baselines-per-block")
+    parser.add_argument("--nref", type=int, default=1,
+                        help="Pallas blocks per grid step (hybrid engine)")
     parser.add_argument("--slab", type=int, default=252, help="Pallas baselines-per-dispatch")
     parser.add_argument("--skip-parity", action="store_true")
     parser.add_argument(
@@ -275,6 +277,15 @@ def main():
         baseline_block=min(args.slab, args.baselines),
     )
     xla_parity_fn = rfi_device.make_flagger_fn(args.width, 11.0, threshold="sum")
+    # Hybrid engine: XLA background (one fused pass) + one Pallas kernel
+    # for madnz+SumThreshold (deviations read once into VMEM instead of
+    # 31 HBM re-reads by the XLA rank search).
+    hybrid_fn = rfi_device.make_flagger_fn(
+        args.width, 11.0, threshold="sum",
+        baseline_block=min(args.slab, args.baselines),
+        engine="hybrid",
+        pallas_kw=dict(bb=args.bb, nref=args.nref, interpret=interpret),
+    )
 
     def pallas_fn(vis_t):
         return pallas_flagger.flag_dump(
@@ -325,9 +336,14 @@ def main():
             sub_t, width=args.width, n_sigma=11.0, bb=min(8, sub_t.shape[0]),
             interpret=interpret,
         )
+        hybrid_parity_fn = rfi_device.make_flagger_fn(
+            args.width, 11.0, threshold="sum", engine="hybrid",
+            pallas_kw=dict(bb=min(8, sub_t.shape[0]), interpret=interpret),
+        )
         for name, got in [
             ("xla", np.asarray(xla_parity_fn(jnp.asarray(planar)))),
             ("pallas", np.asarray(pallas_parity).T),
+            ("hybrid", np.asarray(hybrid_parity_fn(jnp.asarray(planar)))),
         ]:
             mismatches = int((got != expected).sum())
             log(f"parity[{name}]: {mismatches} mismatching flags of {expected.size}")
@@ -371,6 +387,10 @@ def main():
     except Exception as exc:  # noqa: BLE001
         log(f"pallas engine failed: {exc}")
     vis_xla = jnp.asarray(planar)
+    try:
+        results["hybrid"] = time_thunk(lambda: hybrid_fn(vis_xla))
+    except Exception as exc:  # noqa: BLE001
+        log(f"hybrid engine failed: {exc}")
     results["xla"] = time_thunk(lambda: xla_fn(vis_xla))
     for name, t in results.items():
         log(f"engine[{name}]: {t * 1e3:.3f} ms ({n_vis / t / 1e9:.2f} Gvis/s)")

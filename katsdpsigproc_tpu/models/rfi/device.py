@@ -228,6 +228,8 @@ def make_flagger_fn(
     threshold_falloff: float = 1.2,
     flag_value: int = 1,
     baseline_block: Optional[int] = None,
+    engine: str = "xla",
+    pallas_kw: Optional[dict] = None,
 ):
     """Build the fused single-device flagger: one jitted fn, zero HBM round-trips
     for intermediates beyond what XLA chooses.
@@ -238,15 +240,35 @@ def make_flagger_fn(
     kernels).  `baseline_block` processes the baseline axis in sequential
     blocks via ``lax.scan`` to bound peak memory for very large dumps.
 
+    ``engine="hybrid"`` (threshold="sum" only) keeps the background median
+    filter in XLA (it fuses into one pass over the visibilities) but runs
+    MAD-noise + SumThreshold as one Pallas kernel
+    (:func:`..pallas_flagger.madnz_threshold`): the XLA rank search
+    re-reads the deviations from HBM every one of its 31 rounds, while
+    the kernel reads them once into VMEM.  ``pallas_kw`` passes bb/fold/
+    nref/interpret through to the kernel.
+
     Returns ``fn(vis[, input_flags]) -> flags`` on (channels, baselines).
     """
     import jax
 
     use_flags = BackgroundFlags.NONE if use_flags is None else use_flags
+    if engine not in ("xla", "hybrid"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine == "hybrid" and threshold != "sum":
+        raise ValueError("engine='hybrid' implements threshold='sum' only")
 
     def block_fn(vis, input_flags=None):
         deviations = background_median_filter(vis, input_flags, width, is_amplitude, use_flags)
         dev_t = jnp.swapaxes(deviations, 0, 1)
+        if engine == "hybrid":
+            from . import pallas_flagger
+
+            flags_t = pallas_flagger.madnz_threshold(
+                dev_t, n_sigma=n_sigma, n_windows=n_windows, falloff=threshold_falloff,
+                flag_value=flag_value, **(pallas_kw or {}),
+            )
+            return jnp.swapaxes(flags_t, 0, 1)
         noise = madnz(dev_t)
         if threshold == "simple":
             flags_t = threshold_simple(dev_t, noise, n_sigma, flag_value, True)

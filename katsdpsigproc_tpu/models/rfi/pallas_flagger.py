@@ -270,11 +270,52 @@ def _threshold_sum_band(dev, noise_rows, col, channels: int, n_sigma, n_windows:
 
 def _flagger_kernel(vis_ref, *refs, width: int, n_sigma: float,
                     n_windows: int, falloff: float, flag_value: int, channels: int,
-                    h: int, use_flags: bool = False, interpret: bool = False):
+                    h: int, flags_mode: str = "none", interpret: bool = False):
+    use_flags = flags_mode != "none"
     if use_flags:
         in_flags_ref, flags_ref = refs
     else:
+        in_flags_ref = None
         (flags_ref,) = refs
+    _flagger_body(vis_ref, in_flags_ref, flags_ref, width=width, n_sigma=n_sigma,
+                  n_windows=n_windows, falloff=falloff, flag_value=flag_value,
+                  channels=channels, h=h, flags_mode=flags_mode, interpret=interpret)
+
+
+def _flagger_kernel_multi(*refs, nref: int, width: int, n_sigma: float,
+                          n_windows: int, falloff: float, flag_value: int, channels: int,
+                          h: int, flags_mode: str = "none", interpret: bool = False):
+    """`nref` independent baseline blocks per grid step (static inner loop).
+
+    Each sub-block arrives through its own input/output ref (separate
+    BlockSpecs with stride-`nref` index maps): block *shapes* stay small
+    enough for the Mosaic AOT service (which rejects ≥64-sublane-row
+    blocks) while the grid shrinks by `nref` — amortizing this
+    environment's per-grid-step dispatch overhead (BASELINE_RESULTS.md:
+    ~59 µs/step through the tunnel).  CHANNEL-mode flags share one ref.
+    """
+    vis_refs = refs[:nref]
+    pos = nref
+    if flags_mode == "full":
+        in_flag_refs = refs[pos : pos + nref]
+        pos += nref
+    elif flags_mode == "channel":
+        in_flag_refs = [refs[pos]] * nref
+        pos += 1
+    else:
+        in_flag_refs = [None] * nref
+    out_refs = refs[pos:]
+    for k in range(nref):
+        _flagger_body(vis_refs[k], in_flag_refs[k], out_refs[k], width=width,
+                      n_sigma=n_sigma, n_windows=n_windows, falloff=falloff,
+                      flag_value=flag_value, channels=channels, h=h,
+                      flags_mode=flags_mode, interpret=interpret)
+
+
+def _flagger_body(vis_ref, in_flags_ref, flags_ref, *, width: int, n_sigma: float,
+                  n_windows: int, falloff: float, flag_value: int, channels: int,
+                  h: int, flags_mode: str, interpret: bool):
+    use_flags = flags_mode != "none"
     re = vis_ref[:, :, 0]
     im = vis_ref[:, :, 1]
     amp = jnp.sqrt(re * re + im * im)  # (R, W)
@@ -286,12 +327,25 @@ def _flagger_kernel(vis_ref, *refs, width: int, n_sigma: float,
     in_band = col < channels
     g = _band_matrix(rows, h)
 
-    if use_flags:
+    if flags_mode == "full":
         # Flagged samples become +inf: the shift machinery then carries
         # their absence into every window automatically (the reference's
         # -1 sentinel, background_median_filter.mako:160-162, inverted to
         # +inf so the sorting network pushes them past valid members).
         amp = jnp.where(in_flags_ref[...].astype(jnp.int32) > 0, _INF, amp)
+    elif flags_mode == "channel":
+        # Per-channel flags arrive as ONE folded (H, W) block (the
+        # reference's CHANNEL mode, rfi/device.py:40-46) and are expanded
+        # to every band in-kernel by a replication matmul (B[r, j] =
+        # [r % H == j]) — no (baselines × channels) broadcast ever exists
+        # in HBM.  Concat/reshape replication would hit Mosaic's aligned-
+        # concat limits at small H; the MXU op is shape-safe and free.
+        cf = (in_flags_ref[...].astype(jnp.int32) > 0).astype(jnp.float32)  # (H, W)
+        ri = lax.broadcasted_iota(jnp.int32, (rows, h), 0) % h
+        rj = lax.broadcasted_iota(jnp.int32, (rows, h), 1)
+        rep = (ri == rj).astype(jnp.float32)
+        flagged = jnp.dot(rep, cf, preferred_element_type=jnp.float32)  # (R, W)
+        amp = jnp.where(flagged > 0.5, _INF, amp)
 
     # Window members via folded-channel shifts, absent members +inf.
     half = width // 2
@@ -324,6 +378,103 @@ def _flagger_kernel(vis_ref, *refs, width: int, n_sigma: float,
     flags_ref[:, :] = (flags * flag_value).astype(jnp.int32).astype(jnp.uint8)
 
 
+def _madnz_threshold_kernel(*refs, nref: int, n_sigma: float, n_windows: int,
+                            falloff: float, flag_value: int, channels: int, h: int,
+                            interpret: bool):
+    """MAD noise + SumThreshold on band-folded deviations (hybrid engine).
+
+    The back half of :func:`_flagger_body`: deviations arrive from HBM
+    (computed by the XLA background filter), are read ONCE into VMEM, and
+    all 31 rank rounds plus the window ladders run VMEM-resident — versus
+    the pure-XLA path where every rank round re-reads the deviations from
+    HBM (31 x 4 B/vis of traffic, the measured dominant cost of the XLA
+    engine at MeerKAT scale).
+    """
+    dev_refs = refs[:nref]
+    out_refs = refs[nref:]
+    for k in range(nref):
+        dev = dev_refs[k][...]
+        rows, ww = dev.shape
+        col = (
+            (lax.broadcasted_iota(jnp.int32, dev.shape, 0) % h) * ww
+            + lax.broadcasted_iota(jnp.int32, dev.shape, 1)
+        )
+        in_band = col < channels
+        g = _band_matrix(rows, h)
+        absdev = jnp.where(in_band, jnp.abs(dev), _NAN)
+        noise_rows = _madnz_band(absdev, g, h, channels, interpret)
+        dev0 = jnp.where(in_band, dev, 0.0)
+        flags = _threshold_sum_band(dev0, noise_rows, col, channels, n_sigma, n_windows,
+                                    falloff, interpret)
+        out_refs[k][:, :] = (flags * flag_value).astype(jnp.int32).astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_sigma", "n_windows", "falloff", "flag_value", "bb", "fold",
+                     "interpret", "nref"),
+)
+def madnz_threshold(dev_t, n_sigma: float = 11.0, n_windows: int = 4, falloff: float = 1.2,
+                    flag_value: int = 1, bb: int = 4, fold: int = 1024,
+                    interpret: bool = False, nref: int = 1):
+    """Fused MAD-noise + SumThreshold Pallas op on (baselines, channels)
+    float32 deviations; returns (baselines, channels) uint8 flags.
+
+    Semantics identical to ``device.madnz`` + ``device.threshold_sum``
+    composed (reference madnz_t.mako:72-87 + threshold_sum.mako:49-132);
+    fold/bb/nref as in :func:`flag_transposed`.
+    """
+    baselines, channels = dev_t.shape[0], dev_t.shape[1]
+    if baselines % (bb * nref):
+        raise ValueError(f"baselines ({baselines}) must divide by bb*nref ({bb}*{nref})")
+    fold = min(fold, max(128, -(-channels // 128) * 128)) if channels > 128 else channels
+    hh = -(-channels // fold)
+    if (bb * hh) % 8 and bb != baselines:
+        raise ValueError(
+            f"block rows bb*H = {bb}*{hh} must be a multiple of 8 (TPU sublane "
+            f"tiling) — raise bb or lower fold"
+        )
+    padded_c = hh * fold
+    if padded_c != channels:
+        dev_t = jnp.pad(dev_t, ((0, 0), (0, padded_c - channels)))
+    folded = dev_t.reshape(baselines * hh, fold)
+    block_rows = bb * hh
+    grid_steps = baselines // (bb * nref)
+    kernel = functools.partial(
+        _madnz_threshold_kernel, nref=nref, n_sigma=n_sigma, n_windows=n_windows,
+        falloff=falloff, flag_value=flag_value, channels=channels, h=hh,
+        interpret=interpret,
+    )
+    kwargs = {}
+    if not interpret and pltpu is not None:
+        kwargs["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid_steps,),
+        in_specs=[
+            pl.BlockSpec((block_rows, fold), (lambda i, k=k: (i * nref + k, 0)),
+                         memory_space=_VMEM)
+            for k in range(nref)
+        ],
+        out_specs=[
+            pl.BlockSpec((block_rows, fold), lambda i: (i, 0), memory_space=_VMEM)
+            for _ in range(nref)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((grid_steps * block_rows, fold), jnp.uint8)
+            for _ in range(nref)
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(*([folded] * nref))
+    if nref == 1:
+        out = outs[0]
+    else:
+        stacked = jnp.stack(outs).reshape(nref, grid_steps, block_rows, fold)
+        out = jnp.moveaxis(stacked, 0, 1).reshape(baselines * hh, fold)
+    return out.reshape(baselines, padded_c)[:, :channels]
+
+
 class FusedFlaggerTemplate:
     """Template wrapper for :func:`flag_transposed` with the Template/tuning
     convention (reference: rfi/device.py template classes).
@@ -333,7 +484,7 @@ class FusedFlaggerTemplate:
     ``wgs``/``csplit`` searches.
     """
 
-    autotune_version = 3
+    autotune_version = 4
 
     def __init__(self, context, width: int = 13, n_windows: int = 4,
                  threshold_falloff: float = 1.2, flag_value: int = 1, tuning=None):
@@ -345,23 +496,27 @@ class FusedFlaggerTemplate:
         if tuning is None:
             tuning = self.autotune(context, width, n_windows)
         self.bb = tuning.get("bb", 4)
+        self.nref = tuning.get("nref", 1)
 
     @classmethod
-    @_tune.autotuner(test={"bb": 4})
+    @_tune.autotuner(test={"bb": 4, "nref": 1})
     def autotune(cls, context, width, n_windows):
         channels, baselines = 32768, 64
         rs = np.random.RandomState(seed=1)
         vis_t = jnp.asarray(rs.standard_normal((baselines, channels, 2)).astype(np.float32))
 
-        def generate(bb):
+        def generate(bb, nref):
             def call():
-                return flag_transposed(vis_t, width=width, n_windows=n_windows, bb=bb)
+                return flag_transposed(
+                    vis_t, width=width, n_windows=n_windows, bb=bb, nref=nref
+                )
 
             return _tune.make_measure(call)
 
-        return _tune.autotune(generate, bb=[1, 2, 4, 8])
+        return _tune.autotune(generate, bb=[1, 2, 4, 8], nref=[1, 2, 4])
 
-    def __call__(self, vis_t, input_flags=None, n_sigma: float = 11.0, interpret: bool = False):
+    def __call__(self, vis_t, input_flags=None, n_sigma: float = 11.0, interpret: bool = False,
+                 channel_flags=None):
         return flag_transposed(
             vis_t,
             input_flags,
@@ -372,17 +527,20 @@ class FusedFlaggerTemplate:
             flag_value=self.flag_value,
             bb=self.bb,
             interpret=interpret,
+            channel_flags=channel_flags,
+            nref=self.nref,
         )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("slab", "width", "n_sigma", "n_windows", "falloff", "flag_value", "bb",
-                     "fold", "interpret"),
+                     "fold", "interpret", "nref"),
 )
 def flag_dump(vis_t, input_flags=None, slab: int = 252, width: int = 13,
               n_sigma: float = 11.0, n_windows: int = 4, falloff: float = 1.2,
-              flag_value: int = 1, bb: int = 1, fold: int = 1024, interpret: bool = False):
+              flag_value: int = 1, bb: int = 1, fold: int = 1024, interpret: bool = False,
+              channel_flags=None, nref: int = 1):
     """Flag a large dump by slabs of baselines, as ONE program.
 
     The remote Mosaic AOT service fails on very large grid/buffer sizes
@@ -391,10 +549,12 @@ def flag_dump(vis_t, input_flags=None, slab: int = 252, width: int = 13,
     loop of slab calls latency-bound.  So the slab loop is a ``lax.scan``
     over one compiled slab kernel inside a single jit: one dispatch, one
     kernel compilation, sequential slab executions on-device.  Keyword
-    arguments are those of :func:`flag_transposed`.
+    arguments are those of :func:`flag_transposed` (``channel_flags`` is
+    shared by every slab, not scanned over).
     """
     kwargs = dict(width=width, n_sigma=n_sigma, n_windows=n_windows, falloff=falloff,
-                  flag_value=flag_value, bb=bb, fold=fold, interpret=interpret)
+                  flag_value=flag_value, bb=bb, fold=fold, interpret=interpret,
+                  channel_flags=channel_flags, nref=nref)
     baselines, channels = vis_t.shape[0], vis_t.shape[1]
     if baselines <= slab:
         return flag_transposed(vis_t, input_flags, **kwargs)
@@ -421,11 +581,12 @@ def flag_dump(vis_t, input_flags=None, slab: int = 252, width: int = 13,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "n_sigma", "n_windows", "falloff", "flag_value", "bb", "fold",
-                     "interpret"),
+                     "interpret", "nref"),
 )
 def flag_transposed(vis_t, input_flags=None, width: int = 13, n_sigma: float = 11.0,
                     n_windows: int = 4, falloff: float = 1.2, flag_value: int = 1,
-                    bb: int = 4, fold: int = 1024, interpret: bool = False):
+                    bb: int = 4, fold: int = 1024, interpret: bool = False,
+                    channel_flags=None, nref: int = 1):
     """Fused flagger on baseline-major planar visibilities.
 
     Parameters
@@ -434,20 +595,34 @@ def flag_transposed(vis_t, input_flags=None, width: int = 13, n_sigma: float = 1
         (baselines, channels, 2) float32 split-complex visibilities.
     input_flags
         Optional (baselines, channels) uint8 prior flags (the reference's
-        FULL mode; broadcast CHANNEL flags before calling).
+        FULL mode).
+    channel_flags
+        Optional (channels,) uint8 prior flags shared by all baselines
+        (the reference's CHANNEL mode, rfi/device.py:40-46).  Passed to
+        the kernel as one folded (H, fold) block with a constant index
+        map and expanded per band in-kernel — no (baselines × channels)
+        broadcast is ever materialized.  Mutually exclusive with
+        ``input_flags``.
     bb
-        Baselines per grid step (VMEM budget knob; the tuning dimension).
+        Baselines per block (VMEM budget knob; the tuning dimension).
     fold
         Lane width W of the folded channel axis (≤ 1024, multiple of 128
         unless it covers all channels).
+    nref
+        Independent `bb`-baseline blocks per grid step, each through its
+        own ref (see :func:`_flagger_kernel_multi`): block shapes stay
+        AOT-compilable while per-step overhead amortizes.  IR size grows
+        ~`nref`-fold.
 
     Returns
     -------
     (baselines, channels) uint8 flags.
     """
+    if input_flags is not None and channel_flags is not None:
+        raise ValueError("pass either input_flags (FULL) or channel_flags (CHANNEL), not both")
     baselines, channels = vis_t.shape[0], vis_t.shape[1]
-    if baselines % bb:
-        raise ValueError(f"baselines ({baselines}) must divide by bb ({bb})")
+    if baselines % (bb * nref):
+        raise ValueError(f"baselines ({baselines}) must divide by bb*nref ({bb}*{nref})")
     fold = min(fold, max(128, -(-channels // 128) * 128)) if channels > 128 else channels
     hh = -(-channels // fold)
     if (bb * hh) % 8 and bb != baselines:
@@ -460,12 +635,18 @@ def flag_transposed(vis_t, input_flags=None, width: int = 13, n_sigma: float = 1
         vis_t = jnp.pad(vis_t, ((0, 0), (0, padded_c - channels), (0, 0)))
         if input_flags is not None:
             input_flags = jnp.pad(input_flags, ((0, 0), (0, padded_c - channels)))
+        if channel_flags is not None:
+            channel_flags = jnp.pad(channel_flags, ((0, padded_c - channels),))
     # Band-folded rows: row b*hh + h holds channels [h*fold, (h+1)*fold)
     folded = vis_t.reshape(baselines * hh, fold, 2)
     block_rows = bb * hh
 
-    kernel = functools.partial(
-        _flagger_kernel,
+    flags_mode = "none"
+    if input_flags is not None:
+        flags_mode = "full"
+    elif channel_flags is not None:
+        flags_mode = "channel"
+    algo_kw = dict(
         width=width,
         n_sigma=n_sigma,
         n_windows=n_windows,
@@ -473,25 +654,73 @@ def flag_transposed(vis_t, input_flags=None, width: int = 13, n_sigma: float = 1
         flag_value=flag_value,
         channels=channels,
         h=hh,
-        use_flags=input_flags is not None,
+        flags_mode=flags_mode,
         interpret=interpret,
     )
     kwargs = {}
     if not interpret and pltpu is not None:
         # The default scoped-VMEM limit is 16 MiB; v5e has 128 MiB physical.
         kwargs["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-    in_specs = [pl.BlockSpec((block_rows, fold, 2), lambda i: (i, 0, 0), memory_space=_VMEM)]
-    operands = [folded]
+
+    if nref == 1:
+        kernel = functools.partial(_flagger_kernel, **algo_kw)
+        in_specs = [pl.BlockSpec((block_rows, fold, 2), lambda i: (i, 0, 0), memory_space=_VMEM)]
+        operands = [folded]
+        if input_flags is not None:
+            in_specs.append(pl.BlockSpec((block_rows, fold), lambda i: (i, 0), memory_space=_VMEM))
+            operands.append(input_flags.reshape(baselines * hh, fold))
+        elif channel_flags is not None:
+            # One (H, fold) block, revisited by every grid step.
+            in_specs.append(pl.BlockSpec((hh, fold), lambda i: (0, 0), memory_space=_VMEM))
+            operands.append(channel_flags.reshape(hh, fold))
+        out = pl.pallas_call(
+            kernel,
+            grid=(baselines // bb,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((block_rows, fold), lambda i: (i, 0), memory_space=_VMEM),
+            out_shape=jax.ShapeDtypeStruct((baselines * hh, fold), jnp.uint8),
+            interpret=interpret,
+            **kwargs,
+        )(*operands)
+        return out.reshape(baselines, padded_c)[:, :channels]
+
+    # Multi-ref grid step: sub-block k of step i covers block index
+    # i*nref + k; each output array holds that sub-block's stripes and the
+    # stripes are re-interleaved afterwards (cheap XLA shuffle).
+    grid_steps = baselines // (bb * nref)
+    kernel = functools.partial(_flagger_kernel_multi, nref=nref, **algo_kw)
+    in_specs = [
+        pl.BlockSpec((block_rows, fold, 2), (lambda i, k=k: (i * nref + k, 0, 0)),
+                     memory_space=_VMEM)
+        for k in range(nref)
+    ]
+    operands = [folded] * nref
     if input_flags is not None:
-        in_specs.append(pl.BlockSpec((block_rows, fold), lambda i: (i, 0), memory_space=_VMEM))
-        operands.append(input_flags.reshape(baselines * hh, fold))
-    out = pl.pallas_call(
+        iff = input_flags.reshape(baselines * hh, fold)
+        in_specs += [
+            pl.BlockSpec((block_rows, fold), (lambda i, k=k: (i * nref + k, 0)),
+                         memory_space=_VMEM)
+            for k in range(nref)
+        ]
+        operands += [iff] * nref
+    elif channel_flags is not None:
+        in_specs.append(pl.BlockSpec((hh, fold), lambda i: (0, 0), memory_space=_VMEM))
+        operands.append(channel_flags.reshape(hh, fold))
+    outs = pl.pallas_call(
         kernel,
-        grid=(baselines // bb,),
+        grid=(grid_steps,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((block_rows, fold), lambda i: (i, 0), memory_space=_VMEM),
-        out_shape=jax.ShapeDtypeStruct((baselines * hh, fold), jnp.uint8),
+        out_specs=[
+            pl.BlockSpec((block_rows, fold), lambda i: (i, 0), memory_space=_VMEM)
+            for _ in range(nref)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((grid_steps * block_rows, fold), jnp.uint8)
+            for _ in range(nref)
+        ],
         interpret=interpret,
         **kwargs,
     )(*operands)
+    stacked = jnp.stack(outs).reshape(nref, grid_steps, block_rows, fold)
+    out = jnp.moveaxis(stacked, 0, 1).reshape(baselines * hh, fold)
     return out.reshape(baselines, padded_c)[:, :channels]

@@ -83,6 +83,41 @@ def test_input_flags_match_host(mode):
         rfi_host.ThresholdSumHost(11.0),
     )
     np.testing.assert_equal(out.T, host_flagger(vis, host_arg))
+    if mode == "channel":
+        # Native CHANNEL path: one (channels,) vector, folded block with a
+        # constant index map — must match the broadcast-to-FULL result.
+        native = np.asarray(
+            pallas_flagger.flag_transposed(
+                jnp.asarray(vis_t),
+                channel_flags=jnp.asarray(host_arg.astype(np.uint8)),
+                bb=8, fold=128, interpret=True,
+            )
+        )
+        np.testing.assert_equal(native, out)
+
+
+def test_channel_flags_dump_and_validation():
+    vis, _, input_flags = rfi_test_data(shape=(300, 24), seed=9)
+    cf = input_flags[:, 0].astype(np.uint8)  # (channels,)
+    vis_t = jnp.asarray(np.moveaxis(rfi_device.to_planar(vis), 0, 1).copy())
+    full = np.asarray(
+        pallas_flagger.flag_transposed(
+            vis_t, channel_flags=jnp.asarray(cf), bb=8, fold=128, interpret=True
+        )
+    )
+    dumped = np.asarray(
+        pallas_flagger.flag_dump(
+            vis_t, channel_flags=jnp.asarray(cf), slab=8, bb=8, fold=128, interpret=True
+        )
+    )
+    np.testing.assert_equal(full, dumped)
+    with pytest.raises(ValueError, match="not both"):
+        pallas_flagger.flag_transposed(
+            vis_t,
+            jnp.zeros((24, 300), jnp.uint8),
+            channel_flags=jnp.asarray(cf),
+            bb=8, fold=128, interpret=True,
+        )
 
 
 def test_flag_dump_with_flags():
@@ -96,6 +131,66 @@ def test_flag_dump_with_flags():
         pallas_flagger.flag_dump(vis_t, f_t, slab=8, bb=8, interpret=True)
     )
     np.testing.assert_equal(full, dumped)
+
+
+@pytest.mark.parametrize("mode", ["none", "full", "channel"])
+def test_nref_multi_block(mode):
+    """nref>1 (multiple refs per grid step) matches the single-ref kernel."""
+    vis, _, input_flags = rfi_test_data(shape=(256, 32), seed=11)
+    vis_t = jnp.asarray(np.moveaxis(rfi_device.to_planar(vis), 0, 1).copy())
+    kw = {}
+    if mode == "full":
+        kw["input_flags"] = jnp.asarray(input_flags.T.astype(np.uint8))
+    elif mode == "channel":
+        kw["channel_flags"] = jnp.asarray(input_flags[:, 0].astype(np.uint8))
+    base = np.asarray(
+        pallas_flagger.flag_transposed(vis_t, bb=8, fold=128, interpret=True, **kw)
+    )
+    for nref in (2, 4):
+        multi = np.asarray(
+            pallas_flagger.flag_transposed(
+                vis_t, bb=8, fold=128, interpret=True, nref=nref, **kw
+            )
+        )
+        np.testing.assert_equal(multi, base)
+
+
+@pytest.mark.parametrize("nref", [1, 2])
+def test_madnz_threshold_matches_xla(nref):
+    """Hybrid kernel == madnz + threshold_sum composed (same deviations)."""
+    rs = np.random.RandomState(13)
+    dev_t = jnp.asarray(rs.standard_normal((16, 256)).astype(np.float32))
+    expected = rfi_device.threshold_sum(dev_t, rfi_device.madnz(dev_t), 11.0)
+    got = pallas_flagger.madnz_threshold(
+        dev_t, n_sigma=11.0, bb=4, fold=128, interpret=True, nref=nref
+    )
+    np.testing.assert_equal(np.asarray(got), np.asarray(expected))
+
+
+def test_hybrid_engine_matches_host():
+    vis, _, _ = rfi_test_data(shape=(256, 16), seed=15)
+    planar = rfi_device.to_planar(vis)
+    fn = rfi_device.make_flagger_fn(
+        13, 11.0, engine="hybrid",
+        pallas_kw=dict(bb=4, fold=128, interpret=True),
+    )
+    host_flagger = rfi_host.FlaggerHost(
+        rfi_host.BackgroundMedianFilterHost(13),
+        rfi_host.NoiseEstMADHost(),
+        rfi_host.ThresholdSumHost(11.0),
+    )
+    np.testing.assert_equal(np.asarray(fn(jnp.asarray(planar))), host_flagger(vis))
+
+
+def test_fused_template_tuning_override():
+    """Template honors explicit tuning (bb, nref) without running a search."""
+    vis, _, _ = rfi_test_data(shape=(256, 16), seed=17)
+    vis_t = jnp.asarray(np.moveaxis(rfi_device.to_planar(vis), 0, 1).copy())
+    tmpl = pallas_flagger.FusedFlaggerTemplate(None, tuning={"bb": 8, "nref": 2})
+    assert tmpl.bb == 8 and tmpl.nref == 2
+    base = pallas_flagger.flag_transposed(vis_t, bb=8, fold=128, interpret=True)
+    got = tmpl(vis_t, interpret=True)
+    np.testing.assert_equal(np.asarray(got), np.asarray(base))
 
 
 def test_bad_bb():
