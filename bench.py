@@ -52,38 +52,22 @@ def emit(metric, value, unit, vs_baseline):
 
 
 def _accum_timer(iters):
-    """Fetch-forced accumulate timing.
+    """Scan-inside-jit timing (see utils.profiling.time_scan).
 
-    This environment's remote tunnel has a ~29 ms per-blocking-sync floor
-    and its ``block_until_ready`` does not force remote completion
-    (BASELINE_RESULTS.md), so each iteration's outputs are reduced
-    on-device into an accumulator and only the final scalar is fetched —
-    executions serialize on the chip, so the total window is honest
-    compute while the sync cost amortizes over all iterations.
+    Under this environment's remote tunnel, a Python dispatch loop on the
+    same (program, input) pays a full RPC round trip per iteration
+    (measured 52 ms/iter for a 4 ms computation — scripts/
+    timing_integrity.py), so iterations must run back-to-back ON-CHIP:
+    one jit containing a ``lax.scan`` with a data-dependent (but zero)
+    carry added to the input.  A length-1 window is subtracted to remove
+    the constant dispatch/fetch overhead.
     """
-    import jax
-    import jax.numpy as jnp
+    from katsdpsigproc_tpu.utils.profiling import time_scan
 
-    @jax.jit
-    def _summarize(x):
-        leaves = jax.tree_util.tree_leaves(x)
-        return sum(jnp.sum(leaf.astype(jnp.float32)) for leaf in leaves)
+    def timer(fn, *args):
+        return time_scan(fn, args, iters=iters)
 
-    def time_thunk(thunk):
-        out = thunk()
-        np.asarray(_summarize(out))  # compile + warm (one fetch)
-        start = time.perf_counter()
-        acc = None
-        for _ in range(iters):
-            out = thunk()
-            parts = out if isinstance(out, list) else [out]
-            for part in parts:
-                s = _summarize(part)
-                acc = s if acc is None else acc + s
-        np.asarray(acc)  # force everything
-        return (time.perf_counter() - start) / iters
-
-    return time_thunk
+    return timer
 
 
 def _hbm_gbps():
@@ -111,7 +95,7 @@ def bench_config1(args):
     impl = flagger._impl(shape)
     vis = jnp.asarray(amp)
     flags = jnp.zeros(shape, bool)
-    dt = _accum_timer(args.iters)(lambda: impl(vis, flags))
+    dt = _accum_timer(args.iters)(impl, vis, flags)
     n_vis = times * channels * baselines
     log(f"config1 twodflag {times}x{channels}x{baselines}: {dt * 1e3:.3f} ms "
         f"({n_vis / dt / 1e6:.1f} Mvis/s)")
@@ -140,8 +124,8 @@ def bench_config2(args):
     xc = jnp.asarray(planar)
     xm = jnp.asarray(mask)
     timer = _accum_timer(args.iters)
-    dt_pct = timer(lambda: pct.percentile5(x))
-    dt_ms = timer(lambda: ms.maskedsum(xc, xm))
+    dt_pct = timer(pct.percentile5, x)
+    dt_ms = timer(ms.maskedsum, xc, xm)
     n = rows * cols
     log(f"config2 percentile5 {rows}x{cols}: {dt_pct * 1e3:.3f} ms "
         f"({n / dt_pct / 1e9:.2f} Gelem/s)")
@@ -166,7 +150,7 @@ def bench_config3(args):
     data = (rs.standard_normal((rows, cols, 2))).astype(np.float32)  # planar c64
     x = jnp.asarray(data)
     timer = _accum_timer(args.iters)
-    dt = timer(lambda: tr.transpose(x))
+    dt = timer(tr.transpose, x)
     nbytes = rows * cols * 8 * 2  # read + write
     hbm = _hbm_gbps()
     log(f"config3 transpose {rows}x{cols} c64-planar: {dt * 1e3:.3f} ms "
@@ -199,7 +183,7 @@ def bench_config4(args):
         return flags.astype(jnp.uint8), out.astype(jnp.float32)
 
     x = jnp.asarray(data)
-    dt = _accum_timer(args.iters)(lambda: spectral_flag(x))
+    dt = _accum_timer(args.iters)(spectral_flag, x)
     n = b * c
     log(f"config4 fft spectral flag {b}x{c}: {dt * 1e3:.3f} ms "
         f"({n / dt / 1e9:.2f} Gsamples/s)")
@@ -290,34 +274,8 @@ def main():
     def pallas_fn(vis_t):
         return pallas_flagger.flag_dump(
             vis_t, slab=args.slab, width=args.width, n_sigma=11.0, bb=args.bb,
-            interpret=interpret,
+            nref=args.nref, interpret=interpret,
         )
-
-    def pallas_slab_fns(vis_t_np):
-        """Pre-sliced slab arrays + a dispatch-all callable.
-
-        Slicing device arrays outside jit routes through the host on this
-        backend, so the slabs are materialized once before timing; each
-        timed iteration is then `n_slabs` kernel dispatches over the full
-        dump (the reference harnesses likewise time kernels, not host
-        copies — scripts/transposetest.py:21-25).
-        """
-        n = vis_t_np.shape[0] // args.slab
-        slabs = [
-            jnp.asarray(vis_t_np[i * args.slab : (i + 1) * args.slab]) for i in range(n)
-        ]
-        if n * args.slab < vis_t_np.shape[0]:
-            slabs.append(jnp.asarray(vis_t_np[n * args.slab :]))
-
-        def fn():
-            return [
-                pallas_flagger.flag_transposed(
-                    s, width=args.width, n_sigma=11.0, bb=args.bb, interpret=interpret
-                )
-                for s in slabs
-            ]
-
-        return fn
 
     # ---- parity check on a subsampled block (vs host oracle) -------------
     if not args.skip_parity:
@@ -353,45 +311,32 @@ def main():
     # ---- timing ----------------------------------------------------------
     n_vis = args.channels * args.baselines
     planar = rfi_device.to_planar(vis_np)
-
-    @jax.jit
-    def _summarize(flags):
-        return jnp.sum(flags.astype(jnp.int32))
-
-    def time_thunk(thunk):
-        """Seconds per full-dump iteration, dispatch floor amortized.
-
-        This environment's remote tunnel has a ~29 ms per-blocking-sync
-        floor (BASELINE_RESULTS.md), so each iteration's outputs are
-        reduced on-device into an accumulator and only the final scalar is
-        fetched — executions serialize on the chip, so the total window is
-        honest compute while the sync cost amortizes over all iterations.
-        """
-        out = thunk()
-        jax.block_until_ready(out)  # compile + warm
-        start = time.perf_counter()
-        acc = None
-        for _ in range(args.iters):
-            out = thunk()
-            parts = out if isinstance(out, list) else [out]
-            for part in parts:
-                s = _summarize(part)
-                acc = s if acc is None else acc + s
-        np.asarray(acc)  # force everything
-        return (time.perf_counter() - start) / args.iters
+    timer = _accum_timer(args.iters)
 
     results = {}
+    # The fused Pallas engine is timed per slab (the dump is just
+    # n_slabs sequential slab executions; wrapping the whole flag_dump
+    # scan in the timing scan trips the remote AOT allocator).
+    slab = min(args.slab, args.baselines)
+    vis_t_slab = jnp.asarray(np.moveaxis(planar[:, :slab], 0, 1).copy())
     try:
-        slab_fn = pallas_slab_fns(np.moveaxis(planar, 0, 1).copy())
-        results["pallas"] = time_thunk(slab_fn)
+        dt_slab = timer(
+            lambda v: pallas_flagger.flag_transposed(
+                v, width=args.width, n_sigma=11.0, bb=args.bb, nref=args.nref,
+                interpret=interpret,
+            ),
+            vis_t_slab,
+        )
+        results["pallas"] = dt_slab * (args.baselines / slab)
     except Exception as exc:  # noqa: BLE001
         log(f"pallas engine failed: {exc}")
+    del vis_t_slab
     vis_xla = jnp.asarray(planar)
     try:
-        results["hybrid"] = time_thunk(lambda: hybrid_fn(vis_xla))
+        results["hybrid"] = timer(hybrid_fn, vis_xla)
     except Exception as exc:  # noqa: BLE001
         log(f"hybrid engine failed: {exc}")
-    results["xla"] = time_thunk(lambda: xla_fn(vis_xla))
+    results["xla"] = timer(xla_fn, vis_xla)
     for name, t in results.items():
         log(f"engine[{name}]: {t * 1e3:.3f} ms ({n_vis / t / 1e9:.2f} Gvis/s)")
     dt = min(results.values())

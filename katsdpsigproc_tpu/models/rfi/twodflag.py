@@ -65,7 +65,7 @@ def _masked_median_axis0(data, valid, *, empty_value):
     # Search along the last axis, batched over the rest.
     vals_t = jnp.moveaxis(vals, 0, -1)
     n = jnp.sum(valid, axis=0, dtype=jnp.int32)
-    med = rank_ops.find_rank_float(vals_t, n // 2, (n & 1) == 0, unroll=False)
+    med = rank_ops.find_rank_float(vals_t, n // 2, (n & 1) == 0, unroll=False, radix_bits=4)
     return jnp.where(n > 0, med, jnp.asarray(empty_value, data.dtype))
 
 

@@ -144,11 +144,12 @@ def percentile5(values, engine: str = "rank"):
         s = jnp.sort(values, axis=-1)
         out = jnp.stack([s[..., 0], s[..., n - 1], s[..., r25], s[..., r75], s[..., r50]])
     else:
-        # One 31-round binary search resolves all three ranks at once: the
-        # rank axis broadcasts against a single read of the data per round.
+        # One radix search resolves all three ranks at once: the rank axis
+        # broadcasts against a single read of the data per round (radix-16
+        # digits: 8 sweeps, measured best on v5e with shared-read counts).
         targets = jnp.asarray([r25, r75, r50], jnp.int32)
         vb = jnp.broadcast_to(values[..., None, :], values.shape[:-1] + (3, values.shape[-1]))
-        p = rank.find_rank_float(vb, targets, False)  # (..., 3)
+        p = rank.find_rank_float(vb, targets, False, radix_bits=4)  # (..., 3)
         out = jnp.stack(
             [
                 rank.fmin(values),

@@ -33,6 +33,57 @@ def time_fn(fn: Callable[[], object], iters: int = 10, warmup: int = 2) -> float
     return float(np.median(times))
 
 
+def time_scan(fn: Callable, args, iters: int = 20, warmup: bool = True) -> float:
+    """Seconds per call of `fn(*args)`, iterations serialized ON-CHIP.
+
+    The only honest timing under this machine's remote-execution tunnel
+    (see CLAUDE.md): a Python dispatch loop over the same (program, input)
+    pays a full RPC round trip per iteration (measured 52 ms/iter for a
+    4 ms computation), while distinct-input loops overlap round trips and
+    under-report.  Here the loop is a ``lax.scan`` *inside one jit*: one
+    dispatch, `iters` back-to-back executions on the chip, one scalar
+    fetch.  A loop-carried, data-dependent zero (``sum(out) * 0.0``) is
+    added to the first argument so XLA can neither hoist the body nor CSE
+    iterations, while the computed values stay bit-identical.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    args = tuple(args)
+
+    def make(length):
+        @jax.jit
+        def program(*a):
+            def body(carry, _):
+                first = a[0] + carry  # carry == 0.0 always, but data-dependent
+                out = fn(first, *a[1:])
+                leaves = jax.tree_util.tree_leaves(out)
+                s = sum(jnp.sum(leaf.astype(jnp.float32)) for leaf in leaves)
+                return s * 0.0, s
+            _, ss = lax.scan(body, jnp.float32(0.0), None, length=length)
+            return jnp.sum(ss)
+        return program
+
+    prog_n, prog_1 = make(iters), make(1)
+
+    def run(prog):
+        start = time.perf_counter()
+        np.asarray(prog(*args))
+        return time.perf_counter() - start
+
+    if warmup:
+        run(prog_1)  # compile both + absorb first-dispatch effects
+        run(prog_n)
+    t1 = run(prog_1)  # dispatch + fetch overhead with ONE execution
+    tn = run(prog_n)
+    # Subtracting the single-execution window removes the constant
+    # dispatch/fetch overhead; the result is pure marginal per-iteration
+    # on-chip time.
+    return max(tn - t1, 1e-9) / (iters - 1)
+
+
 @contextlib.contextmanager
 def trace(log_dir: str, create_perfetto_link: bool = False):
     """Capture a device trace under `log_dir` (view with TensorBoard/Perfetto)."""

@@ -13,7 +13,6 @@ import argparse
 import os
 import pathlib
 import sys
-import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp_cache"))
@@ -101,12 +100,7 @@ def main():
         variants.append((f"radix{1 << k if False else 2**k}", lambda v, k=k: madnz_ref(v, k)))
         variants.append((f"radix{2**k}-arith", lambda v, k=k: madnz_arith(v, k)))
 
-    # warm-up sink for the first-timed-function penalty
-    @jax.jit
-    def warm(v):
-        return jnp.sum(v)
-
-    np.asarray(warm(x))
+    from katsdpsigproc_tpu.utils.profiling import time_scan
 
     for name, fn in variants:
         jfn = jax.jit(lambda v, f=fn: f(v))
@@ -118,15 +112,7 @@ def main():
             if not ok:
                 print(f"{name}: RESULT MISMATCH", file=sys.stderr)
                 sys.exit(1)
-        sfn = jax.jit(lambda v, f=fn: jnp.sum(f(v)))
-        np.asarray(sfn(x))
-        start = time.perf_counter()
-        acc = None
-        for _ in range(args.iters):
-            s = sfn(x)
-            acc = s if acc is None else acc + s
-        np.asarray(acc)
-        dt = (time.perf_counter() - start) / args.iters
+        dt = time_scan(fn, (x,), iters=args.iters)
         gb = args.baselines * args.channels * 4 / 1e9
         print(f"{name:16s} {dt * 1e3:9.3f} ms  ({gb / dt:6.1f} GB/s effective)",
               file=sys.stderr)

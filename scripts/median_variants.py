@@ -10,7 +10,6 @@ import argparse
 import os
 import pathlib
 import sys
-import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp_cache"))
@@ -39,11 +38,12 @@ def sort_median(data, valid, empty_value=0.0):
     return jnp.where(n > 0, med, jnp.asarray(empty_value, data.dtype))
 
 
-def rank_median(data, valid, *, unroll, empty_value=0.0):
+def rank_median(data, valid, *, unroll, radix_bits=1, empty_value=0.0):
     vals = jnp.where(valid, data, jnp.nan)
     vals_t = jnp.swapaxes(vals, -1, -2)
     n = jnp.sum(valid, axis=-2, dtype=jnp.int32)
-    med = rank_ops.find_rank_float(vals_t, n // 2, (n & 1) == 0, unroll=unroll)
+    med = rank_ops.find_rank_float(vals_t, n // 2, (n & 1) == 0, unroll=unroll,
+                                   radix_bits=radix_bits)
     return jnp.where(n > 0, med, jnp.asarray(empty_value, data.dtype))
 
 
@@ -101,11 +101,14 @@ def main():
     x = jnp.asarray(data)
     v = jnp.asarray(valid)
 
+    from katsdpsigproc_tpu.utils.profiling import time_scan
+
     expected = None
     for name, fn in [
         ("sort", sort_median),
         ("rank unroll", lambda d, m: rank_median(d, m, unroll=True)),
         ("rank fori", lambda d, m: rank_median(d, m, unroll=False)),
+        ("rank radix4 fori", lambda d, m: rank_median(d, m, unroll=False, radix_bits=4)),
         ("rank axis unroll", lambda d, m: rank_median_axis(d, m, unroll=True)),
         ("rank axis fori", lambda d, m: rank_median_axis(d, m, unroll=False)),
     ]:
@@ -115,13 +118,7 @@ def main():
             expected = got
         else:
             assert np.allclose(got, expected, rtol=1e-6), (name, got, expected)
-        start = time.perf_counter()
-        acc = None
-        for _ in range(args.iters):
-            s = jfn(x, v)
-            acc = s if acc is None else acc + s
-        np.asarray(acc)
-        dt = (time.perf_counter() - start) / args.iters
+        dt = time_scan(fn, (x, v), iters=args.iters)
         print(f"{name:18s} {dt * 1e3:9.3f} ms", file=sys.stderr)
 
 

@@ -9,7 +9,6 @@ import argparse
 import os
 import pathlib
 import sys
-import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp_cache"))
@@ -44,21 +43,17 @@ def main():
     vis_t = jnp.asarray(data)
     nrefs = [int(x) for x in args.nrefs.split(",")]
 
-    @jax.jit
-    def s(x):
-        return jnp.sum(x.astype(jnp.float32))
+    from katsdpsigproc_tpu.utils.profiling import time_scan
 
-    # Warm-up measurement sink (absorbs the first-timed-function penalty)
-    np.asarray(s(vis_t))
     base = None
     for nref in nrefs:
         if b % (args.bb * nref):
             print(f"nref={nref}: skipped (divisibility)", file=sys.stderr)
             continue
-        fn = lambda: pallas_flagger.flag_transposed(  # noqa: E731
-            vis_t, bb=args.bb, nref=nref, interpret=args.interpret
+        fn = lambda v, nref=nref: pallas_flagger.flag_transposed(  # noqa: E731
+            v, bb=args.bb, nref=nref, interpret=args.interpret
         )
-        out = np.asarray(fn())
+        out = np.asarray(jax.jit(fn)(vis_t))
         if base is None:
             base = out
             print(f"nref={nref}: flag fraction {out.mean():.4f}", file=sys.stderr)
@@ -69,14 +64,7 @@ def main():
             print(f"nref={nref}: {mism} mismatches vs nref={nrefs[0]}", file=sys.stderr)
             if mism:
                 sys.exit(1)
-        np.asarray(s(fn()))
-        start = time.perf_counter()
-        acc = None
-        for _ in range(args.iters):
-            v = s(fn())
-            acc = v if acc is None else acc + v
-        np.asarray(acc)
-        dt = (time.perf_counter() - start) / args.iters
+        dt = time_scan(fn, (vis_t,), iters=args.iters)
         print(f"nref={nref}: {dt * 1e3:9.3f} ms/slab", file=sys.stderr)
 
 

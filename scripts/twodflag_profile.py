@@ -43,36 +43,14 @@ def main():
     data_bl = jnp.asarray(np.moveaxis(amp, -1, 0))  # (bl, T, F)
     flags_bl = jnp.zeros(data_bl.shape, bool)
 
+    from katsdpsigproc_tpu.utils.profiling import time_scan
+
     def timeit(name, fn, *xs):
-        """Fetch-forced accumulate timing (see bench.py: the tunnel's
-        block_until_ready does not force remote completion, so each
-        iteration's outputs are reduced to a scalar on device, chained into
-        an accumulator, and only the final scalar is fetched)."""
-        import time
-
-        jfn = jax.jit(fn)
-
-        @jax.jit
-        def summed(*a):
-            out = jfn(*a)
-            leaves = jax.tree_util.tree_leaves(out)
-            return sum(jnp.sum(leaf.astype(jnp.float32)) for leaf in leaves)
-
-        np.asarray(summed(*xs))  # compile + warm (one fetch)
-        start = time.perf_counter()
-        acc = None
-        for _ in range(args.iters):
-            s = summed(*xs)
-            acc = s if acc is None else acc + s
-        np.asarray(acc)
-        t = (time.perf_counter() - start) / args.iters
+        """Scan-inside-jit timing (utils.profiling.time_scan): the only
+        honest harness under the remote tunnel — see CLAUDE.md."""
+        t = time_scan(fn, xs, iters=args.iters)
         print(f"{name:34s} {t * 1e3:9.2f} ms", file=sys.stderr)
-        return jfn(*xs)
-
-    # Throwaway first measurement: the first timed function in a process
-    # absorbs a large one-off tunnel warm-up cost (measured ~400 ms total
-    # regardless of content), so time a trivial op first.
-    timeit("(warmup: trivial add)", lambda d, f: d + 1.0, data_bl, flags_bl)
+        return jax.jit(fn)(*xs)
 
     # Stage: time median (per-channel masked median over T)
     timeit("time_median", jax.vmap(twodflag._time_median), data_bl, flags_bl)
