@@ -146,7 +146,7 @@ def percentile5(values, engine: str = "rank"):
     else:
         # One radix search resolves all three ranks at once: the rank axis
         # broadcasts against a single read of the data per round (radix-16
-        # digits: 8 sweeps, measured best on v5e with shared-read counts).
+        # digits: 8 sweeps; times within noise of binary on v5e).
         targets = jnp.asarray([r25, r75, r50], jnp.int32)
         vb = jnp.broadcast_to(values[..., None, :], values.shape[:-1] + (3, values.shape[-1]))
         p = rank.find_rank_float(vb, targets, False, radix_bits=4)  # (..., 3)

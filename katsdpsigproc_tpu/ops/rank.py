@@ -107,9 +107,10 @@ def find_rank_float(
     # ``v < cur|(j<<s)  ⟺  (bits(v) - cur) >> s < j`` — the resolved
     # digits of ``cur`` sit above ``s`` so | == +, and the arithmetic
     # shift floors v<cur below every j.  One elementwise chain per round
-    # feeds ALL k candidate counts from a single read of the data
-    # (measured 8.5x over per-candidate float compares at radix 16 on
-    # v5e, where XLA re-read the operand per candidate).
+    # feeds ALL k candidate counts; on v5e, XLA keeps slab-sized operands
+    # VMEM-resident across rounds, so radix 1..16 time the same locally
+    # (scripts/madnz_variants.py) — wider digits matter for collectives,
+    # where rounds are inter-chip latency.
     bits = lax.bitcast_convert_type(values, jnp.int32)
 
     cur = jnp.zeros(batch_shape, jnp.int32)
@@ -186,8 +187,9 @@ def median_non_zero(values, n: Optional[jnp.ndarray] = None, count_fn: Callable 
     the ``n - z`` non-zeros has global strict-rank target ``(n + z) // 2``
     with halfway averaging when ``n - z`` is even — exactly the reference's
     formulation (rank.mako:261-266), which matches ``np.median`` on the
-    non-zero subset.  ``radix_bits=4`` (8 data sweeps) is the measured
-    best on v5e with the shared-read digit counting.
+    non-zero subset.  ``radix_bits=4`` (8 data sweeps) times within noise
+    of binary on v5e (operands stay VMEM-resident across rounds) and
+    keeps loop trip counts small.
     """
     values = jnp.asarray(values)
     if n is None:

@@ -32,6 +32,8 @@ def main():
     parser.add_argument("--baselines", type=int, default=252)
     parser.add_argument("--width", type=int, default=13)
     parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--full-baselines", type=int, default=0,
+                        help="Also time full-dump variants at this many baselines")
     args = parser.parse_args()
 
     c, b = args.channels, args.baselines
@@ -61,6 +63,22 @@ def main():
            lambda d: rfi_device.threshold_sum(d, noise, 11.0), dev_t)
     fn = rfi_device.make_flagger_fn(args.width, 11.0, threshold="sum")
     timeit("full block_fn", fn, vis)
+
+    if args.full_baselines:
+        fb = args.full_baselines
+        planar_full = rs.standard_normal((c, fb, 2)).astype(np.float32)
+        vis_full = jnp.asarray(planar_full)
+        timeit(f"unblocked full ({fb} bl)",
+               rfi_device.make_flagger_fn(args.width, 11.0, threshold="sum"), vis_full)
+        for blk in (252, 504):
+            if fb % blk == 0 or fb > blk:
+                timeit(
+                    f"blocked {blk} full ({fb} bl)",
+                    rfi_device.make_flagger_fn(
+                        args.width, 11.0, threshold="sum", baseline_block=blk
+                    ),
+                    vis_full,
+                )
 
 
 if __name__ == "__main__":
