@@ -61,7 +61,7 @@ class BackgroundFlags(enum.Enum):
 # ---------------------------------------------------------------------------
 
 
-def masked_median_filter(amp, width: int):
+def masked_median_filter(amp, width: int, engine: str = "network"):
     """Centred windowed median along axis 0, NaN = absent, min_periods=1.
 
     `amp` is (channels, baselines) float32 with NaN marking flagged/absent
@@ -70,14 +70,19 @@ def masked_median_filter(amp, width: int):
     semantics (background_median_filter.mako:96-145): even valid counts
     average the two middle values.
 
-    Selection is by **compare-count ranking**, not sorting: for each of the
-    `width` window members, its stable rank among the valid members is the
-    count of pairwise wins (ties broken by window position).  The two
-    middle elements are then picked by rank-match-and-sum.  This is
-    O(width²) pairwise compares per output, but every term is a shifted
-    elementwise op that XLA fuses into one VPU loop — nothing the size of
-    the window stack ever reaches HBM (a sort would materialize
-    ``width`` full copies; on a 2016×32k dump that is >100 GB of traffic).
+    Both engines keep the window stack out of HBM (every term is a
+    shifted elementwise op XLA fuses into one VPU loop; an axis sort
+    would materialize ``width`` full copies):
+
+    * ``"network"`` (default) — Batcher odd-even sort of the +inf-masked
+      members (48 min/max exchanges for width 13) followed by
+      rank-indexed selection of the two middle valid entries.  Measured
+      1.55× over compare-count on v5e under the honest scan harness
+      (scripts/background_variants.py) — the data parallelism across
+      channels hides the network's dependency chain.
+    * ``"count"`` — compare-count ranking: each member's stable rank
+      among valid members is its count of pairwise wins (ties to the
+      earlier position); O(width²) compares, wide and shallow.
     """
     h = width // 2
     c = amp.shape[0]
@@ -90,21 +95,37 @@ def masked_median_filter(amp, width: int):
     zero = jnp.zeros(amp.shape, amp.dtype)
     v_lo = zero
     v_hi = zero
-    for j in range(width):
-        # Stable rank of win[j] among valid members: NaN comparisons are
-        # False, so invalid members never count; ties go to the earlier
-        # position.  NaN members get rank n (never selected).
-        r = jnp.zeros(amp.shape, jnp.int32)
+    if engine == "network":
+        inf = jnp.float32(np.inf)
+        arrs = [jnp.where(m, inf, w) for w, m in zip(win, nan)]
+        for i, j in rank_ops.batcher_pairs(width):
+            a, b = arrs[i], arrs[j]
+            arrs[i] = jnp.minimum(a, b)
+            arrs[j] = jnp.maximum(a, b)
+        # After the sort the valid members occupy positions 0..n-1
+        # ascending (absent members are +inf, pushed to the top).
         for k in range(width):
-            if k == j:
-                continue
-            if k < j:
-                r = r + (win[k] <= win[j])
-            else:
-                r = r + (win[k] < win[j])
-        vj = jnp.where(nan[j], 0.0, win[j])
-        v_lo = v_lo + jnp.where(~nan[j] & (r == lo), vj, 0.0)
-        v_hi = v_hi + jnp.where(~nan[j] & (r == hi), vj, 0.0)
+            vk = jnp.where(arrs[k] == inf, 0.0, arrs[k])
+            v_lo = v_lo + jnp.where(lo == k, vk, 0.0)
+            v_hi = v_hi + jnp.where(hi == k, vk, 0.0)
+    elif engine == "count":
+        for j in range(width):
+            # Stable rank of win[j] among valid members: NaN comparisons
+            # are False, so invalid members never count; ties go to the
+            # earlier position.  NaN members get rank n (never selected).
+            r = jnp.zeros(amp.shape, jnp.int32)
+            for k in range(width):
+                if k == j:
+                    continue
+                if k < j:
+                    r = r + (win[k] <= win[j])
+                else:
+                    r = r + (win[k] < win[j])
+            vj = jnp.where(nan[j], 0.0, win[j])
+            v_lo = v_lo + jnp.where(~nan[j] & (r == lo), vj, 0.0)
+            v_hi = v_hi + jnp.where(~nan[j] & (r == hi), vj, 0.0)
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
     med = (v_lo + v_hi) * 0.5
     return jnp.where(n > 0, med, jnp.nan), n
 

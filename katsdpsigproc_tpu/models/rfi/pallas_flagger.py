@@ -68,6 +68,7 @@ except ImportError:  # pragma: nocover
     pltpu = None
     _VMEM = None
 
+from ...ops.rank import batcher_pairs as _batcher_pairs
 from ...utils import tune as _tune
 from . import MAD_NORMAL
 
@@ -148,38 +149,6 @@ def _band_max(m_rows, h: int, interpret: bool, g=None):
     return _band_sum(g, first)
 
 
-def _batcher_pairs(n: int):
-    """Compare-exchange pairs of a Batcher odd-even mergesort network.
-
-    48 exchanges for n=13 — ~2× fewer vector ops than compare-count
-    ranking, and a sorting network is exactly the reference's intuition
-    of a rank-maintained window (background_median_filter.mako:130-145)
-    recast as straight-line vector code.
-    """
-    pairs = []
-    t = 1
-    while t < n:
-        t *= 2
-
-    def merge(lo, cnt, r):
-        step = r * 2
-        if step < cnt:
-            merge(lo, cnt, step)
-            merge(lo + r, cnt, step)
-            for i in range(lo + r, lo + cnt - r, step):
-                pairs.append((i, i + r))
-        else:
-            pairs.append((lo, lo + r))
-
-    def sort(lo, cnt):
-        if cnt > 1:
-            m = cnt // 2
-            sort(lo, m)
-            sort(lo + m, m)
-            merge(lo, cnt, 1)
-
-    sort(0, t)
-    return [(i, j) for (i, j) in pairs if j < n]
 
 
 def _masked_median_rows(members, n, width: int):

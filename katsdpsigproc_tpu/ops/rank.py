@@ -28,6 +28,40 @@ def _default_count(mask) -> jnp.ndarray:
     return jnp.sum(mask, axis=-1, dtype=jnp.int32)
 
 
+def batcher_pairs(n: int):
+    """Compare-exchange pairs of a Batcher odd-even mergesort network.
+
+    48 exchanges for n=13.  Straight-line min/max vector code — the
+    reference's rank-maintained window (background_median_filter.mako:
+    130-145) recast for SIMD; used by both the Pallas flagger kernel and
+    the XLA windowed-median engine.
+    """
+    pairs = []
+    t = 1
+    while t < n:
+        t *= 2
+
+    def merge(lo, cnt, r):
+        step = r * 2
+        if step < cnt:
+            merge(lo, cnt, step)
+            merge(lo + r, cnt, step)
+            for i in range(lo + r, lo + cnt - r, step):
+                pairs.append((i, i + r))
+        else:
+            pairs.append((lo, lo + r))
+
+    def sort(lo, cnt):
+        if cnt > 1:
+            m = cnt // 2
+            sort(lo, m)
+            sort(lo + m, m)
+            merge(lo, cnt, 1)
+
+    sort(0, t)
+    return [(i, j) for (i, j) in pairs if j < n]
+
+
 def rank(values, limit, count_fn: Callable = _default_count):
     """Count elements strictly less than `limit` (NaN-safe).
 

@@ -67,6 +67,21 @@ class TestBackgroundDevice:
         with pytest.raises(TypeError):
             wrapper(np.zeros((8, 4), np.complex64), np.zeros(8, np.uint8))
 
+    @pytest.mark.parametrize("width", [3, 5, 13])
+    def test_median_engines_agree(self, width):
+        """Batcher-network and compare-count selection are bit-identical,
+        including ties, NaN-masked members, and all-NaN windows."""
+        rs = np.random.RandomState(seed=3)
+        amp = rs.choice([0.25, 0.5, 1.0, 2.0, 4.0], size=(97, 17)).astype(np.float32)
+        amp[rs.random_sample(amp.shape) < 0.3] = np.nan
+        amp[40:60, 5] = np.nan  # windows with zero valid members
+        med_net, n_net = device.masked_median_filter(amp, width, engine="network")
+        med_cnt, n_cnt = device.masked_median_filter(amp, width, engine="count")
+        np.testing.assert_array_equal(np.asarray(n_net), np.asarray(n_cnt))
+        np.testing.assert_array_equal(np.asarray(med_net), np.asarray(med_cnt))
+        with pytest.raises(ValueError):
+            device.masked_median_filter(amp, width, engine="quantum")
+
 
 class TestNoiseEstDevice:
     @pytest.mark.parametrize("transposed", [False, True])
