@@ -253,9 +253,10 @@ def main():
     # Two engines, both on the planar (re, im) float32 layout (no complex
     # dtype on TPU backends):
     #   - "pallas": the fused single-kernel flagger, baseline-major
-    #   - "xla":    the fused-jit functional path, channel-major
-    # Baseline-blocked scan keeps the XLA path's working set VMEM-friendly
-    # (measured ~1.8× faster than one full-dump fusion at MeerKAT scale).
+    #   - "xla":    the fused-jit functional path, channel-major throughout
+    #     (straight layout — zero corner turns), baseline-blocked by
+    #     in-place dynamic slicing (~2.3× faster than one full-dump
+    #     fusion at MeerKAT scale; scripts/flagger_blocking_ab.py)
     xla_fn = rfi_device.make_flagger_fn(
         args.width, 11.0, threshold="sum",
         baseline_block=min(args.slab, args.baselines),

@@ -181,14 +181,19 @@ def background_median_filter(vis, flags, width: int, is_amplitude: bool, use_fla
     return jnp.where(jnp.isnan(deviations), 0.0, deviations).astype(jnp.float32)
 
 
-def madnz(deviations_t, n_channels: Optional[int] = None):
-    """MAD noise per baseline from transposed deviations (baselines, channels).
+def madnz(deviations_t, n_channels: Optional[int] = None, axis: int = -1):
+    """MAD noise per baseline from deviations, channels along `axis`.
 
     ``MAD_NORMAL * median(nonzero |deviations|)`` with the reference's exact
-    rank arithmetic (madnz_t.mako:72-87 → rank.mako:253-267).
+    rank arithmetic (rank.mako:253-267).  ``axis=-1`` expects the transposed
+    (baselines, channels) layout (madnz_t.mako:72-87); ``axis=0`` is the
+    straight (channels, baselines) layout (madnz.mako:105-123) — no corner
+    turn needed.
     """
     values = jnp.abs(deviations_t).astype(jnp.float32)
-    return (MAD_NORMAL * rank_ops.median_non_zero(values, n_channels)).astype(jnp.float32)
+    return (MAD_NORMAL * rank_ops.median_non_zero(values, n_channels, axis=axis)).astype(
+        jnp.float32
+    )
 
 
 def threshold_simple(deviations, noise, n_sigma: float, flag_value: int = 1, transposed=False):
@@ -204,8 +209,10 @@ def threshold_sum(
     n_windows: int = 4,
     threshold_falloff: float = 1.2,
     flag_value: int = 1,
+    transposed: bool = True,
 ):
-    """SumThreshold on transposed deviations (baselines, channels).
+    """SumThreshold on deviations; channels along the last axis when
+    `transposed` (baselines, channels), else along axis 0.
 
     Matches the host oracle exactly (host.py ThresholdSumHost /
     reference rfi/host.py:186-254): full windows only; flagged samples are
@@ -214,27 +221,35 @@ def threshold_sum(
     the dispersal is a boolean dilation — all fusable VPU work
     (cf. threshold_sum.mako:84-121's local-memory Kogge-Stone ladders).
     """
-    channels = deviations_t.shape[-1]
+    import jax
+
+    ax = deviations_t.ndim - 1 if transposed else 0
+    channels = deviations_t.shape[ax]
+
+    def sl(x, start, stop):
+        return jax.lax.slice_in_dim(x, start, stop, axis=ax)
+
     flags = jnp.zeros(deviations_t.shape, bool)
-    base_threshold = (n_sigma * noise)[:, None].astype(jnp.float32)
+    base_threshold = jnp.expand_dims((n_sigma * noise).astype(jnp.float32), ax)
     for w in range(n_windows):
         window = 1 << w
         if window > channels:
             break
         threshold = (base_threshold * np.float32(threshold_falloff ** -w)).astype(jnp.float32)
         clamped = jnp.where(flags, threshold, deviations_t)
-        #
 
         # sums[k] = sum(clamped[k : k + window]), k in [0, channels - window]
-        sums = clamped[..., : channels - window + 1]
+        sums = sl(clamped, 0, channels - window + 1)
         for j in range(1, window):
-            sums = sums + clamped[..., j : channels - window + 1 + j]
+            sums = sums + sl(clamped, j, channels - window + 1 + j)
         sum_flags = sums > threshold * window
         # flag[c] |= any(sum_flags[max(0, c-window+1) : min(c, channels-window) + 1])
-        dilated = jnp.pad(sum_flags, ((0, 0),) * (sum_flags.ndim - 1) + ((window - 1, window - 1),))
-        new_flags = dilated[..., :channels]
+        pad = [(0, 0)] * sum_flags.ndim
+        pad[ax] = (window - 1, window - 1)
+        dilated = jnp.pad(sum_flags, pad)
+        new_flags = sl(dilated, 0, channels)
         for j in range(1, window):
-            new_flags = new_flags | dilated[..., j : channels + j]
+            new_flags = new_flags | sl(dilated, j, channels + j)
         flags = flags | new_flags
     return jnp.where(flags, jnp.uint8(flag_value), jnp.uint8(0))
 
@@ -251,6 +266,8 @@ def make_flagger_fn(
     baseline_block: Optional[int] = None,
     engine: str = "xla",
     pallas_kw: Optional[dict] = None,
+    layout: str = "straight",
+    block_impl: str = "slice",
 ):
     """Build the fused single-device flagger: one jitted fn, zero HBM round-trips
     for intermediates beyond what XLA chooses.
@@ -259,7 +276,14 @@ def make_flagger_fn(
     OperationSequence of five kernels, rfi/device.py:1135-1164, which
     round-trips deviations/noise/flags through global memory between
     kernels).  `baseline_block` processes the baseline axis in sequential
-    blocks via ``lax.scan`` to bound peak memory for very large dumps.
+    blocks to bound peak memory for very large dumps; ``block_impl``
+    selects in-place dynamic slicing (``"slice"``, default — no corner
+    turn of the dump) or a stacked ``lax.scan`` (``"scan"``).  ``layout``
+    selects the stage memory order after the background filter — the
+    reference's madnz.mako ("straight", default: noise/threshold run
+    channel-major, zero transposes) vs madnz_t.mako ("transposed")
+    pairing.  Both layouts and both block impls are bit-identical;
+    straight+slice measured fastest on v5e (scripts/flagger_blocking_ab.py).
 
     ``engine="hybrid"`` (threshold="sum" only) keeps the background median
     filter in XLA (it fuses into one pass over the visibilities) but runs
@@ -278,18 +302,31 @@ def make_flagger_fn(
         raise ValueError(f"unknown engine {engine!r}")
     if engine == "hybrid" and threshold != "sum":
         raise ValueError("engine='hybrid' implements threshold='sum' only")
+    if layout not in ("transposed", "straight"):
+        raise ValueError(f"unknown layout {layout!r}")
 
     def block_fn(vis, input_flags=None):
         deviations = background_median_filter(vis, input_flags, width, is_amplitude, use_flags)
-        dev_t = jnp.swapaxes(deviations, 0, 1)
         if engine == "hybrid":
             from . import pallas_flagger
 
+            dev_t = jnp.swapaxes(deviations, 0, 1)
             flags_t = pallas_flagger.madnz_threshold(
                 dev_t, n_sigma=n_sigma, n_windows=n_windows, falloff=threshold_falloff,
                 flag_value=flag_value, **(pallas_kw or {}),
             )
             return jnp.swapaxes(flags_t, 0, 1)
+        if layout == "straight":
+            # Channel-major throughout — the reference's madnz.mako layout:
+            # no corner turn of deviations or flags.
+            noise = madnz(deviations, axis=0)
+            if threshold == "simple":
+                return threshold_simple(deviations, noise, n_sigma, flag_value, False)
+            return threshold_sum(
+                deviations, noise, n_sigma, n_windows, threshold_falloff, flag_value,
+                transposed=False,
+            )
+        dev_t = jnp.swapaxes(deviations, 0, 1)
         noise = madnz(dev_t)
         if threshold == "simple":
             flags_t = threshold_simple(dev_t, noise, n_sigma, flag_value, True)
@@ -301,8 +338,48 @@ def make_flagger_fn(
 
     if baseline_block is None:
         return jax.jit(block_fn)
+    if block_impl not in ("slice", "scan"):
+        raise ValueError(f"unknown block_impl {block_impl!r}")
 
-    def blocked(vis, input_flags=None):
+    def slab(v, f):
+        # `f` is the per-slab FULL flags slice, or the shared CHANNEL
+        # flags vector, or None.
+        if use_flags == BackgroundFlags.NONE:
+            return block_fn(v)
+        return block_fn(v, f)
+
+    def blocked_slice(vis, input_flags=None):
+        # Baseline-axis blocking without any corner turn: a fori_loop
+        # dynamic-slices each (channels, block) slab out of the caller's
+        # layout and dynamic-updates the flags in place.  The lax.scan
+        # alternative must first materialize a (nb, c, block) stack —
+        # at MeerKAT scale that is a 528 MB transpose read+written before
+        # any flagging starts, plus the inverse reorg of the flags.
+        c, b = vis.shape[:2]
+        nb = b // baseline_block
+
+        def body(i, out):
+            start = i * baseline_block
+            v = jax.lax.dynamic_slice_in_dim(vis, start, baseline_block, axis=1)
+            f = input_flags
+            if use_flags == BackgroundFlags.FULL and input_flags is not None:
+                f = jax.lax.dynamic_slice_in_dim(input_flags, start, baseline_block, axis=1)
+            return jax.lax.dynamic_update_slice_in_dim(out, slab(v, f), start, axis=1)
+
+        out = jnp.zeros((c, b), jnp.uint8)
+        out = jax.lax.fori_loop(0, nb, body, out)
+        if nb * baseline_block < b:
+            tail = vis[:, nb * baseline_block :]
+            tail_flags = input_flags
+            if use_flags == BackgroundFlags.FULL and input_flags is not None:
+                tail_flags = input_flags[:, nb * baseline_block :]
+            out = jax.lax.dynamic_update_slice_in_dim(
+                out, slab(tail, tail_flags), nb * baseline_block, axis=1
+            )
+        return out
+
+    def blocked_scan(vis, input_flags=None):
+        # Corner-turn variant: stack the slabs and lax.scan over them.
         c, b = vis.shape[:2]
         pair = vis.shape[2:]  # () for complex/amplitude, (2,) for planar
         nb = b // baseline_block
@@ -314,31 +391,21 @@ def make_flagger_fn(
             per_block_flags = jnp.moveaxis(f_main.reshape(c, nb, baseline_block), 1, 0)
 
         def body(_, xs):
-            if per_block_flags is not None:
-                v, f = xs
-                return None, block_fn(v, f)
-            if use_flags == BackgroundFlags.CHANNEL:
-                return None, block_fn(xs, input_flags)
-            return None, block_fn(xs)
+            v, f = xs if per_block_flags is not None else (xs, input_flags)
+            return None, slab(v, f)
 
         xs = (blocks, per_block_flags) if per_block_flags is not None else blocks
         _, out = jax.lax.scan(body, None, xs)
         out = jnp.moveaxis(out, 0, 1).reshape(c, nb * baseline_block)
         if nb * baseline_block < b:
             tail = vis[:, nb * baseline_block :]
-            tail_flags = None
+            tail_flags = input_flags
             if use_flags == BackgroundFlags.FULL and input_flags is not None:
                 tail_flags = input_flags[:, nb * baseline_block :]
-            if use_flags == BackgroundFlags.CHANNEL:
-                tail_out = block_fn(tail, input_flags)
-            elif tail_flags is not None:
-                tail_out = block_fn(tail, tail_flags)
-            else:
-                tail_out = block_fn(tail)
-            out = jnp.concatenate([out, tail_out], axis=1)
+            out = jnp.concatenate([out, slab(tail, tail_flags)], axis=1)
         return out
 
-    return jax.jit(blocked)
+    return jax.jit(blocked_slice if block_impl == "slice" else blocked_scan)
 
 
 # ---------------------------------------------------------------------------

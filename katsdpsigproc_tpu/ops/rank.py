@@ -77,6 +77,58 @@ def zeros(values, count_fn: Callable = _default_count):
     return count_fn(values == 0)
 
 
+def _find_rank_float_axis(values, target_rank, halfway, axis, radix_bits, unroll):
+    """`find_rank_float` along an arbitrary data axis (local counting only).
+
+    Same greedy radix search; candidate counts carry the candidate index on
+    a new trailing axis so the data axis never moves — this is how the
+    straight-layout (channel-major) engine avoids the corner turn the
+    reference needs for its transposed madnz variant (madnz_t.mako:72-87).
+    """
+    batch_shape = values.shape[:axis] + values.shape[axis + 1 :]
+    target_b = jnp.broadcast_to(target_rank, batch_shape)
+    bits = lax.bitcast_convert_type(values, jnp.int32)
+
+    def expand(x):
+        return jnp.expand_dims(x, axis)
+
+    cur = jnp.zeros(batch_shape, jnp.int32)
+    shifts = []
+    pos = 31
+    while pos > 0:
+        width = pos % radix_bits or radix_bits
+        pos -= width
+        shifts.append((pos, width))
+
+    def round_(cur, shift, width):
+        k = (1 << width) - 1
+        j = jnp.arange(1, k + 1, dtype=jnp.int32)
+        rel = (bits - expand(cur)) >> shift  # values.shape
+        counts = jnp.sum(rel[..., None] < j, axis=axis, dtype=jnp.int32)  # batch + (k,)
+        digit = jnp.sum((counts <= target_b[..., None]).astype(jnp.int32), axis=-1)
+        return cur | (digit << shift)
+
+    if unroll:
+        for shift, width in shifts:
+            cur = round_(cur, shift, width)
+    else:
+        (shift0, width0), rest = shifts[0], shifts[1:]
+        cur = round_(cur, shift0, width0)
+        if rest:
+            start = rest[0][0]
+            cur = lax.fori_loop(
+                0, len(rest),
+                lambda i, c: round_(c, start - i * radix_bits, radix_bits),
+                cur,
+            )
+    result = lax.bitcast_convert_type(cur, jnp.float32)
+
+    r = jnp.sum(values < expand(result), axis=axis, dtype=jnp.int32)
+    prev = jnp.max(jnp.where(values < expand(result), values, 0.0), axis=axis)
+    need_avg = jnp.logical_and(jnp.broadcast_to(halfway, batch_shape), r == target_b)
+    return jnp.where(need_avg, (result + prev) * 0.5, result)
+
+
 def find_rank_float(
     values,
     target_rank,
@@ -85,6 +137,7 @@ def find_rank_float(
     max_below_fn: Optional[Callable] = None,
     radix_bits: int = 1,
     unroll: bool = True,
+    axis: int = -1,
 ):
     """Exact order statistic of positive float32 data via bitwise radix search.
 
@@ -134,6 +187,14 @@ def find_rank_float(
     values = jnp.asarray(values)
     target_rank = jnp.asarray(target_rank, jnp.int32)
     halfway = jnp.asarray(halfway)
+    if axis % values.ndim != values.ndim - 1:
+        # Straight-layout path (reference madnz.mako vs madnz_t.mako): the
+        # search axis stays where the caller's data lives — no corner turn.
+        if count_fn is not _default_count or max_below_fn is not None:
+            raise ValueError("custom count_fn/max_below_fn require axis=-1")
+        return _find_rank_float_axis(
+            values, target_rank, halfway, axis % values.ndim, radix_bits, unroll
+        )
     batch_shape = values.shape[:-1]
     target_b = jnp.broadcast_to(target_rank, batch_shape)
     # Counting uses the integer encodings directly: positive floats (and
@@ -213,7 +274,7 @@ def fmax(values, reduce_fn: Optional[Callable] = None):
 
 
 def median_non_zero(values, n: Optional[jnp.ndarray] = None, count_fn: Callable = _default_count,
-                    radix_bits: int = 4, unroll: bool = True):
+                    radix_bits: int = 4, unroll: bool = True, axis: int = -1):
     """Median of the non-zero values (positive float32; NaN = absent).
 
     `n` is the count of present (non-NaN) elements; defaults to the full
@@ -227,8 +288,11 @@ def median_non_zero(values, n: Optional[jnp.ndarray] = None, count_fn: Callable 
     """
     values = jnp.asarray(values)
     if n is None:
-        n = jnp.int32(values.shape[-1])
-    z = zeros(values, count_fn)
+        n = jnp.int32(values.shape[axis])
+    if axis % values.ndim != values.ndim - 1:
+        z = jnp.sum(values == 0, axis=axis, dtype=jnp.int32)
+    else:
+        z = zeros(values, count_fn)
     rank2 = jnp.asarray(n, jnp.int32) + z
     return find_rank_float(values, rank2 // 2, (rank2 & 1) == 0, count_fn,
-                           radix_bits=radix_bits, unroll=unroll)
+                           radix_bits=radix_bits, unroll=unroll, axis=axis)

@@ -61,8 +61,13 @@ def main():
     noise = jnp.asarray(np.abs(rs.standard_normal(b)).astype(np.float32))
     timeit("threshold_sum",
            lambda d: rfi_device.threshold_sum(d, noise, 11.0), dev_t)
+    timeit("madnz straight (axis=0)",
+           lambda d: MAD_NORMAL * rank_ops.median_non_zero(jnp.abs(d), axis=0),
+           jnp.asarray(dev_np.T.copy()))
     fn = rfi_device.make_flagger_fn(args.width, 11.0, threshold="sum")
     timeit("full block_fn", fn, vis)
+    fn_s = rfi_device.make_flagger_fn(args.width, 11.0, threshold="sum", layout="straight")
+    timeit("full block_fn straight", fn_s, vis)
 
     if args.full_baselines:
         fb = args.full_baselines
@@ -79,6 +84,15 @@ def main():
                     ),
                     vis_full,
                 )
+        for blk in (126, 252):
+            timeit(
+                f"blocked {blk} straight ({fb} bl)",
+                rfi_device.make_flagger_fn(
+                    args.width, 11.0, threshold="sum", baseline_block=blk,
+                    layout="straight",
+                ),
+                vis_full,
+            )
 
 
 if __name__ == "__main__":

@@ -199,6 +199,48 @@ class TestFlaggerDevice:
             np.asarray(blocked20(jnp.asarray(device.to_planar(vis)))),
         )
 
+    @pytest.mark.parametrize("block_impl", ["slice", "scan"])
+    @pytest.mark.parametrize(
+        "use_flags", [device.BackgroundFlags.CHANNEL, device.BackgroundFlags.FULL]
+    )
+    def test_blocked_input_flags(self, ctx, use_flags, block_impl):
+        """Blocked flagging forwards CHANNEL/FULL input flags to every slab
+        (including the non-dividing tail) for both blocking impls."""
+        vis, _, _ = rfi_test_data(shape=(128, 50), seed=12)
+        import jax.numpy as jnp
+
+        rs = np.random.RandomState(seed=12)
+        if use_flags == device.BackgroundFlags.CHANNEL:
+            flags = (rs.random_sample(128) < 0.1).astype(np.uint8)
+        else:
+            flags = (rs.random_sample((128, 50)) < 0.1).astype(np.uint8)
+        full = device.make_flagger_fn(13, 11.0, use_flags=use_flags)
+        blocked = device.make_flagger_fn(
+            13, 11.0, use_flags=use_flags, baseline_block=16, block_impl=block_impl
+        )
+        np.testing.assert_equal(
+            np.asarray(full(jnp.asarray(vis), jnp.asarray(flags))),
+            np.asarray(blocked(jnp.asarray(vis), jnp.asarray(flags))),
+        )
+
+    @pytest.mark.parametrize("threshold", ["sum", "simple"])
+    def test_make_flagger_fn_straight_layout(self, ctx, threshold):
+        """Channel-major (straight) engine is bit-identical to the
+        transposed engine — the reference's madnz vs madnz_t pairing."""
+        vis, _, _ = rfi_test_data(shape=(128, 48), seed=11)
+        import jax.numpy as jnp
+
+        t = device.make_flagger_fn(13, 11.0, threshold=threshold)
+        s = device.make_flagger_fn(13, 11.0, threshold=threshold, layout="straight")
+        np.testing.assert_equal(np.asarray(t(jnp.asarray(vis))), np.asarray(s(jnp.asarray(vis))))
+        # Blocked + straight, with a non-dividing tail
+        sb = device.make_flagger_fn(
+            13, 11.0, threshold=threshold, layout="straight", baseline_block=20
+        )
+        np.testing.assert_equal(np.asarray(t(jnp.asarray(vis))), np.asarray(sb(jnp.asarray(vis))))
+        with pytest.raises(ValueError):
+            device.make_flagger_fn(13, 11.0, layout="diagonal")
+
     def test_vs_full_host_flagger(self, ctx):
         """Device pipeline vs host pipeline, stage-identical configuration."""
         vis, _, _ = rfi_test_data(shape=(229, 57), seed=7)

@@ -188,6 +188,29 @@ class TestRank:
             ref = rank.find_rank_float(jnp.asarray(values), target, halfway, radix_bits=1)
             np.testing.assert_equal(np.asarray(out), np.asarray(ref))
 
+    @pytest.mark.parametrize("radix_bits", [1, 4])
+    def test_axis0_search_matches_last_axis(self, radix_bits):
+        """The straight-layout (axis=0) search is bit-identical to the
+        transposed one, including halfway averaging, NaN padding, zeros."""
+        rs = np.random.RandomState(seed=6)
+        values = rs.uniform(0.01, 100.0, (203, 7)).astype(np.float32)
+        values[:40, 0] = values[0, 0]  # ties
+        values[150:, 2] = np.nan  # NaN padding
+        values[:5, 3] = 0.0
+        n = np.sum(~np.isnan(values), axis=0).astype(np.int32)
+        for target, halfway in [(0, False), (101, True), (100, True)]:
+            out = rank.find_rank_float(jnp.asarray(values), target, halfway,
+                                       radix_bits=radix_bits, axis=0)
+            ref = rank.find_rank_float(jnp.asarray(values.T), target, halfway,
+                                       radix_bits=radix_bits)
+            np.testing.assert_equal(np.asarray(out), np.asarray(ref))
+        out = rank.median_non_zero(jnp.asarray(values), jnp.asarray(n), axis=0)
+        ref = rank.median_non_zero(jnp.asarray(values.T), jnp.asarray(n))
+        np.testing.assert_equal(np.asarray(out), np.asarray(ref))
+        with pytest.raises(ValueError):
+            rank.find_rank_float(jnp.asarray(values), 0, False, axis=0,
+                                 count_fn=lambda m: m.sum(-1))
+
     def test_fmin_fmax(self):
         values = jnp.asarray([[np.nan, 2.0, 7.0, np.nan]], jnp.float32)
         np.testing.assert_equal(np.asarray(rank.fmin(values)), [2.0])
