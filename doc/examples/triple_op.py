@@ -1,23 +1,24 @@
-"""A custom operation with slots, a template, and autotuning.
+#!/usr/bin/env python
+"""Triple as an Operation with a Template and an autotuner hook.
 
-TPU-native counterpart of the reference's triple_op/triple_tune examples
-(reference: doc/user/examples/triple_op_template.py, triple_tune.py): a
-``Triple`` operation wrapped in the Template/Operation convention with a
-tunable block size, usable functionally or bind-then-call.
+TPU-native analogue of the reference's full template/operation tutorial
+(reference: doc/user/examples/triple_op_template.py, triple_tune.py).
+The workflow is the reference's — build a template once, instantiate per
+shape, bind buffers, call — but the instantiated operation is a pure
+jitted function and the autotuner consults the shipped static table
+(reference tune.py's sqlite cache → utils/tune.py).
 """
-
 import jax.numpy as jnp
 import numpy as np
 
 from katsdpsigproc_tpu.ops import base
 from katsdpsigproc_tpu.utils import backend, tune
 
+backend.apply_platform_env()
 
-class TripleTemplate:
-    autotune_version = 0
 
+class MultiplyTemplate:
     def __init__(self, context, tuning=None):
-        self.context = context
         if tuning is None:
             tuning = self.autotune(context)
         self.block = tuning["block"]
@@ -25,43 +26,39 @@ class TripleTemplate:
     @classmethod
     @tune.autotuner(test={"block": 128})
     def autotune(cls, context):
-        data = jnp.ones((4096, 4096), jnp.float32)
+        # No real search dimension under XLA; a real kernel would time
+        # candidates with tune.autotune(generate, block=[...]).
+        return {"block": 256}
 
-        def generate(block):
-            op = cls(context, tuning={"block": block}).instantiate(None, data.shape)
-            return tune.make_measure(lambda: op(src=data)["dest"])
-
-        return tune.autotune(generate, block=[128, 256, 512])
-
-    def instantiate(self, command_queue=None, shape=()):
-        return Triple(self, shape)
+    def instantiate(self, command_queue=None, size=0, scale=1.0):
+        return Multiply(self, size, scale)
 
 
-class Triple(base.Operation):
-    """.. rubric:: Slots
-
-    **src** : input float32
-    **dest** : output float32 (3 × src)
-    """
-
-    def __init__(self, template, shape):
+class Multiply(base.Operation):
+    def __init__(self, template, size, scale):
         super().__init__()
         self.template = template
-        self.slots["src"] = base.Slot(shape, jnp.float32, base.Direction.IN)
-        self.slots["dest"] = base.Slot(shape, jnp.float32, base.Direction.OUT)
+        self.scale = np.float32(scale)
+        self.slots["data"] = base.Slot((size,), np.float32, base.Direction.IN)
+        self.slots["out"] = base.Slot((size,), np.float32, base.Direction.OUT)
 
-    def _run(self, src):
-        return {"dest": src * 3.0}
+    def _run(self, data):
+        return {"out": data * self.scale}
 
     def parameters(self):
-        return {"block": self.template.block}
+        return {"scale": float(self.scale), "block": self.template.block}
 
 
-if __name__ == "__main__":
-    ctx = backend.create_some_context()
-    template = TripleTemplate(ctx, tuning={"block": 128})
-    op = template.instantiate(None, (50,))
-    host = np.random.uniform(size=50).astype(np.float32)
-    out = op(src=jnp.asarray(host))["dest"]
-    np.testing.assert_allclose(np.asarray(out), host * 3, rtol=1e-6)
-    print(np.asarray(out))
+ctx = backend.create_some_context()
+op = MultiplyTemplate(ctx).instantiate(size=50, scale=3.0)
+
+# Functional style:
+host = np.random.uniform(size=50).astype(np.float32)
+out = op(data=jnp.asarray(host))["out"]
+np.testing.assert_allclose(np.asarray(out), host * 3)
+
+# Reference bind-then-call style (doc/user/operations.rst:116-145):
+op.bind(data=jnp.asarray(host))
+op()
+np.testing.assert_allclose(np.asarray(op.buffer("out")), host * 3)
+print(np.asarray(op.buffer("out"))[:5], op.parameters())

@@ -11,12 +11,14 @@ TPU-native design choices (not a translation):
 * **Background median filter** (reference
   rfi/background_median_filter.mako:79-220 — a serial sliding rank-
   maintenance window per thread): reformulated as a *vectorized windowed
-  median* — compare-count ranking over the ``width`` shifted copies of
-  the amplitude array, fully parallel on the VPU (XLA fuses the wide,
-  shallow compare graph better than a sorting network's long
-  min/max dependency chain — measured 5× on v5e).  Flagged samples
-  become NaN (the reference's ``-1`` sentinel) and drop out of the count
-  exactly as the reference's ``num_valid`` bookkeeping does.
+  median* over the ``width`` shifted copies of the amplitude array,
+  fully parallel on the VPU.  The default engine is a Batcher sorting
+  network pruned to the median's cone of influence
+  (``ops.rank.selection_network``); a compare-count ranking engine is
+  selectable (see :func:`masked_median_filter` for the measured
+  tradeoff).  Flagged samples become NaN (the reference's ``-1``
+  sentinel) and drop out of the valid count exactly as the reference's
+  ``num_valid`` bookkeeping does.
 * **MAD noise estimation** (reference rfi/madnz_t.mako:72-87): the same
   bitwise IEEE-754 binary search as the reference, fully vectorized over
   baselines (see :mod:`katsdpsigproc_tpu.ops.rank`).
@@ -75,8 +77,10 @@ def masked_median_filter(amp, width: int, engine: str = "network"):
     would materialize ``width`` full copies):
 
     * ``"network"`` (default) — Batcher odd-even sort of the +inf-masked
-      members (48 min/max exchanges for width 13) followed by
-      rank-indexed selection of the two middle valid entries.  Measured
+      members, pruned to the lower-half outputs that the median selection
+      can touch (78 vector min/max ops for width 13, vs 96 for the full
+      sort — ``ops.rank.selection_network``), followed by rank-indexed
+      selection of the two middle valid entries.  Measured
       1.55× over compare-count on v5e under the honest scan harness
       (scripts/background_variants.py) — the data parallelism across
       channels hides the network's dependency chain.
@@ -98,13 +102,13 @@ def masked_median_filter(amp, width: int, engine: str = "network"):
     if engine == "network":
         inf = jnp.float32(np.inf)
         arrs = [jnp.where(m, inf, w) for w, m in zip(win, nan)]
-        for i, j in rank_ops.batcher_pairs(width):
-            a, b = arrs[i], arrs[j]
-            arrs[i] = jnp.minimum(a, b)
-            arrs[j] = jnp.maximum(a, b)
-        # After the sort the valid members occupy positions 0..n-1
-        # ascending (absent members are +inf, pushed to the top).
-        for k in range(width):
+        # Only the lower half of the sort is ever selected (hi = n//2 ≤
+        # width//2), so run the Batcher network pruned to those outputs.
+        rank_ops.apply_selection_network(arrs, rank_ops.selection_network(
+            width, range(width // 2 + 1)))
+        # After the (partial) sort the valid members occupy positions
+        # 0..n-1 ascending (absent members are +inf, pushed to the top).
+        for k in range(width // 2 + 1):
             vk = jnp.where(arrs[k] == inf, 0.0, arrs[k])
             v_lo = v_lo + jnp.where(lo == k, vk, 0.0)
             v_hi = v_hi + jnp.where(hi == k, vk, 0.0)
@@ -338,7 +342,7 @@ def make_flagger_fn(
 
     if baseline_block is None:
         return jax.jit(block_fn)
-    if block_impl not in ("slice", "scan"):
+    if block_impl not in ("slice", "scan", "unroll"):
         raise ValueError(f"unknown block_impl {block_impl!r}")
 
     def slab(v, f):
@@ -405,7 +409,26 @@ def make_flagger_fn(
             out = jnp.concatenate([out, slab(tail, tail_flags)], axis=1)
         return out
 
-    return jax.jit(blocked_slice if block_impl == "slice" else blocked_scan)
+    def blocked_unroll(vis, input_flags=None):
+        # Fully static variant: a Python loop over compile-time slab
+        # starts (lax.slice, not dynamic_slice) with one concatenate at
+        # the end.  Static offsets let XLA fuse the slab extraction into
+        # the background filter's read (no slab copy) at the cost of nb
+        # copies of the pipeline in the module (compile time scales with
+        # nb — keep for small slab counts).
+        c, b = vis.shape[:2]
+        outs = []
+        for start in range(0, b, baseline_block):
+            stop = min(start + baseline_block, b)
+            v = jax.lax.slice_in_dim(vis, start, stop, axis=1)
+            f = input_flags
+            if use_flags == BackgroundFlags.FULL and input_flags is not None:
+                f = jax.lax.slice_in_dim(input_flags, start, stop, axis=1)
+            outs.append(slab(v, f))
+        return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+
+    impl = {"slice": blocked_slice, "scan": blocked_scan, "unroll": blocked_unroll}
+    return jax.jit(impl[block_impl])
 
 
 # ---------------------------------------------------------------------------

@@ -68,7 +68,7 @@ except ImportError:  # pragma: nocover
     pltpu = None
     _VMEM = None
 
-from ...ops.rank import batcher_pairs as _batcher_pairs
+from ...ops import rank as _rank_ops
 from ...utils import tune as _tune
 from . import MAD_NORMAL
 
@@ -163,15 +163,16 @@ def _masked_median_rows(members, n, width: int):
     indexing (a ``fori`` over VMEM scratch serializes on Mosaic).
     """
     arrs = list(members)
-    for i, j in _batcher_pairs(width):
-        a, b = arrs[i], arrs[j]
-        arrs[i] = jnp.minimum(a, b)
-        arrs[j] = jnp.maximum(a, b)
+    # The selection below only reads sorted positions 0..width//2 (the
+    # valid count n never exceeds width, so n//2 ≤ width//2): run the
+    # network pruned to that lower half (78 ops vs 96 at width 13).
+    _rank_ops.apply_selection_network(
+        arrs, _rank_ops.selection_network(width, range(width // 2 + 1)))
     lo_rank = (n - 1) // 2
     hi_rank = n // 2
     v_lo = jnp.zeros(n.shape, jnp.float32)
     v_hi = jnp.zeros(n.shape, jnp.float32)
-    for k in range(width):
+    for k in range(width // 2 + 1):
         vk = jnp.where(arrs[k] == _INF, 0.0, arrs[k])
         v_lo = v_lo + jnp.where(lo_rank == k, vk, 0.0)
         v_hi = v_hi + jnp.where(hi_rank == k, vk, 0.0)

@@ -103,6 +103,7 @@ class Operation:
         self.slots: Dict[str, Slot] = {}
         self._bound: Dict[str, Any] = {}
         self._jitted: Optional[Callable] = None
+        self._trace_version = 0
 
     # -- abstract ---------------------------------------------------------
     def _run(self, **inputs):
@@ -125,9 +126,21 @@ class Operation:
         return {}
 
     # -- execution --------------------------------------------------------
+    def invalidate(self) -> None:
+        """Drop the compiled trace (call after mutating state that `_run`
+        bakes in, e.g. :meth:`..fill.Fill.set_value`).  Parent sequences
+        notice via :meth:`_trace_state` and re-trace too."""
+        self._trace_version += 1
+        self._jitted = None
+
+    def _trace_state(self):
+        return self._trace_version
+
     def _compiled(self) -> Callable:
-        if self._jitted is None:
+        state = self._trace_state()
+        if self._jitted is None or getattr(self, "_jitted_state", None) != state:
             self._jitted = jax.jit(lambda inputs: self._run(**inputs))
+            self._jitted_state = state
         return self._jitted
 
     def bind(self, **arrays) -> None:
@@ -254,6 +267,11 @@ class OperationSequence(Operation):
                 seq_name = self._alias.get((child_name, slot_name), f"{child_name}:{slot_name}")
                 env[seq_name] = value
         return {name: env[name] for name, slot in self.output_slots().items() if name in env}
+
+    def _trace_state(self):
+        return (self._trace_version,) + tuple(
+            op._trace_state() for _, op in self.operations
+        )
 
     def required_bytes(self) -> int:
         # Sequence-level view only: intermediates are XLA's to alias.

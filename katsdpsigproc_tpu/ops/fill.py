@@ -70,7 +70,7 @@ class Fill(base.Operation):
 
     def set_value(self, value: Any) -> None:
         self.value = jnp.asarray(value, self.template.dtype)
-        self._jitted = None  # value is baked into the trace
+        self.invalidate()  # value is baked into the trace
 
     def _run(self):
         return {"data": jnp.full(self.shape, self.value, self.template.dtype)}

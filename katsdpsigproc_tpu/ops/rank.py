@@ -62,6 +62,45 @@ def batcher_pairs(n: int):
     return [(i, j) for (i, j) in pairs if j < n]
 
 
+def selection_network(n: int, outputs):
+    """Batcher network pruned to the comparators that can influence `outputs`.
+
+    Returns ``[(i, j, kind)]`` in execution order with kind ``"both"`` (full
+    compare-exchange), ``"min"`` (only ``w[i] = min(w[i], w[j])``) or
+    ``"max"`` (only ``w[j] = max(w[i], w[j])``).  Backward cone-of-influence
+    pruning: a comparator output wire that no later comparator reads and
+    that is not a requested output carries a dead value, so that side of
+    the exchange is elided.  For the windowed-median use (outputs
+    ``0..n//2`` — the masked median only ever selects the lower half, see
+    :func:`..models.rfi.device.masked_median_filter`) this cuts the
+    width-13 network from 96 to 78 vector ops.  Validated exhaustively by
+    the 0-1 principle in tests (min/max commute with thresholding, so
+    correctness on all binary inputs implies correctness everywhere).
+    """
+    live = set(outputs)
+    kept = []
+    for i, j in reversed(batcher_pairs(n)):
+        min_live, max_live = i in live, j in live
+        if not (min_live or max_live):
+            continue
+        kind = "both" if (min_live and max_live) else ("min" if min_live else "max")
+        kept.append((i, j, kind))
+        live.add(i)
+        live.add(j)
+    return kept[::-1]
+
+
+def apply_selection_network(arrs, net):
+    """Run a :func:`selection_network` over a list of arrays, in place."""
+    for i, j, kind in net:
+        a, b = arrs[i], arrs[j]
+        if kind != "max":
+            arrs[i] = jnp.minimum(a, b)
+        if kind != "min":
+            arrs[j] = jnp.maximum(a, b)
+    return arrs
+
+
 def rank(values, limit, count_fn: Callable = _default_count):
     """Count elements strictly less than `limit` (NaN-safe).
 

@@ -50,6 +50,10 @@ def main():
         variants[f"slab{slab}/transposed/scan"] = rfi_device.make_flagger_fn(
             13, 11.0, threshold="sum", baseline_block=slab, block_impl="scan",
         )
+        variants[f"slab{slab}/straight/unroll"] = rfi_device.make_flagger_fn(
+            13, 11.0, threshold="sum", baseline_block=slab, layout="straight",
+            block_impl="unroll",
+        )
 
     times = {name: [] for name in variants}
     for rep in range(args.reps):

@@ -97,6 +97,27 @@ class TestOperationSequence:
         seq = base.OperationSequence([("s", scale)])
         assert set(seq.slots) == {"s:src", "s:dest"}
 
+    def test_child_invalidation_propagates(self):
+        """Mutating a child's baked-in state (Fill.set_value) re-traces the
+        parent sequence, not just the child."""
+        from katsdpsigproc_tpu.ops import fill, reduce as reduce_op
+        from katsdpsigproc_tpu.utils import tune as tune_mod
+
+        f = fill.Fill(fill.FillTemplate(None, np.float32, tuning={}), (3, 4))
+        r = reduce_op.HReduceTemplate(None, np.float32, op="plus", tuning={}).instantiate(
+            shape=(3, 4)
+        )
+        seq = base.OperationSequence(
+            [("fill", f), ("hreduce", r)],
+            compounds={"src": ["fill:data", "hreduce:src"], "dest": ["hreduce:dest"]},
+        )
+        f.set_value(2.0)
+        seq()
+        np.testing.assert_allclose(np.asarray(seq.buffer("dest")), 8.0)
+        f.set_value(5.0)
+        seq()
+        np.testing.assert_allclose(np.asarray(seq.buffer("dest")), 20.0)
+
     def test_compound_shape_mismatch(self):
         scale = _Scale((4, 8), 2.0)
         add = _AddOne((8, 4))

@@ -211,6 +211,28 @@ class TestRank:
             rank.find_rank_float(jnp.asarray(values), 0, False, axis=0,
                                  count_fn=lambda m: m.sum(-1))
 
+    @pytest.mark.parametrize("width", [3, 5, 9, 13])
+    def test_selection_network_zero_one_principle(self, width):
+        """The pruned median network places every output in 0..width//2
+        correctly for all 2^width binary inputs (0-1 principle: min/max
+        commute with thresholding, so this proves all inputs)."""
+        outs = range(width // 2 + 1)
+        net = rank.selection_network(width, outs)
+        full_ops = 2 * len(rank.batcher_pairs(width))
+        net_ops = sum(2 if k == "both" else 1 for (_, _, k) in net)
+        assert net_ops < full_ops
+        for bits in range(1 << width):
+            v = [float((bits >> k) & 1) for k in range(width)]
+            ref = sorted(v)
+            w = list(v)
+            for i, j, kind in net:
+                a, b = w[i], w[j]
+                if kind != "max":
+                    w[i] = min(a, b)
+                if kind != "min":
+                    w[j] = max(a, b)
+            assert [w[p] for p in outs] == [ref[p] for p in outs]
+
     def test_fmin_fmax(self):
         values = jnp.asarray([[np.nan, 2.0, 7.0, np.nan]], jnp.float32)
         np.testing.assert_equal(np.asarray(rank.fmin(values)), [2.0])
