@@ -54,6 +54,10 @@ def main():
             13, 11.0, threshold="sum", baseline_block=slab, layout="straight",
             block_impl="unroll",
         )
+        variants[f"slab{slab}/straight/pad"] = rfi_device.make_flagger_fn(
+            13, 11.0, threshold="sum", baseline_block=slab, layout="straight",
+            block_impl="pad",
+        )
 
     times = {name: [] for name in variants}
     for rep in range(args.reps):

@@ -199,7 +199,7 @@ class TestFlaggerDevice:
             np.asarray(blocked20(jnp.asarray(device.to_planar(vis)))),
         )
 
-    @pytest.mark.parametrize("block_impl", ["slice", "scan", "unroll"])
+    @pytest.mark.parametrize("block_impl", ["slice", "scan", "unroll", "pad"])
     @pytest.mark.parametrize(
         "use_flags", [device.BackgroundFlags.CHANNEL, device.BackgroundFlags.FULL]
     )
