@@ -17,10 +17,11 @@ twodflag.py:894-913) is preserved step for step:
 
 TPU-native deltas:
 
-* numba serial loops → vectorized array ops (masked medians via sort +
-  gather; box filters via ``lax.reduce_window`` window sums, which keep
-  summation local instead of the reference's long double-precision rolling
-  sums, twodflag.py:284-307);
+* numba serial loops → vectorized array ops (masked medians via the exact
+  bitwise rank search; NaN interpolation via sublane log-shift fills; box
+  filters via ``lax.reduce_window`` window sums, which keep summation local
+  instead of the reference's long double-precision rolling sums,
+  twodflag.py:284-307);
 * per-baseline host parallelism (thread/process pools) → ``jax.vmap`` over
   the baseline axis with optional sequential chunking to bound memory;
   ``pool`` arguments are accepted for API compatibility and ignored.
@@ -114,50 +115,63 @@ def _median_abs_axis0(data, flags):
     return _masked_median_axis0(jnp.abs(data), ~flags, empty_value=jnp.nan)[None]
 
 
-def _fill_scan(data, valid, *, reverse: bool):
-    """Value of the nearest valid element at-or-before (at-or-after when
-    `reverse`) each position along the last axis; 0 where none exists.
+def _fill_hillis(data, idx0, *, reverse: bool):
+    """Nearest-non-NaN fill along axis -2 by Hillis-Steele log shifts.
 
-    A ``lax.associative_scan`` with a "keep the latest valid" combiner —
-    log-depth selects instead of a gather (``take_along_axis`` lowers to
-    per-element gathers on TPU and measured ~15x the cost of the whole
-    surrounding filter)."""
-    vals = jnp.where(valid, data, 0.0)
-    flags = valid.astype(data.dtype)
+    Returns (values, indices): per position, the value and the index of the
+    nearest non-NaN element at-or-before (at-or-after when `reverse`) along
+    axis -2; NaN / -1 where none exists.  (value, index) propagate under a
+    single ``isnan`` predicate, so the -1/NaN invariant is maintained by the
+    shift padding alone.
 
-    def comb(a, b):
-        av, af = a
-        bv, bf = b
-        return jnp.where(bf > 0, bv, av), jnp.maximum(af, bf)
-
-    v, _ = lax.associative_scan(comb, (vals, flags), axis=data.ndim - 1, reverse=reverse)
-    return v
+    Engine choice (scripts/naninterp_ab.py): explicit pad-shift rounds on
+    the SUBLANE axis beat ``lax.associative_scan`` along lanes >5x on TPU —
+    the scan's odd/even interleave is strided lane slicing (relayout per
+    round), while sublane shifts are cheap; a gather
+    (``take_along_axis``) is ~15x worse again.
+    """
+    n = data.shape[-2]
+    v = data
+    iv = jnp.where(jnp.isnan(data), jnp.int32(-1), idx0)
+    d = 1
+    while d < n:
+        padv = jnp.full(v.shape[:-2] + (d,) + v.shape[-1:], jnp.nan, v.dtype)
+        padi = jnp.full(iv.shape[:-2] + (d,) + iv.shape[-1:], -1, iv.dtype)
+        if reverse:
+            sv = jnp.concatenate([v[..., d:, :], padv], -2)
+            si = jnp.concatenate([iv[..., d:, :], padi], -2)
+        else:
+            sv = jnp.concatenate([padv, v[..., :-d, :]], -2)
+            si = jnp.concatenate([padi, iv[..., :-d, :]], -2)
+        take = jnp.isnan(v)
+        v = jnp.where(take, sv, v)
+        iv = jnp.where(take, si, iv)
+        d *= 2
+    return v, iv
 
 
 def _linearly_interpolate_nans1d(data):
     """Replace NaNs by linear interpolation along the last axis.
 
     Extrapolation repeats the first/last valid value; all-NaN rows become 0
-    (reference twodflag.py:199-237).  Works on (..., N).
+    (reference twodflag.py:199-237).  Works on (..., N).  The interpolation
+    axis is moved onto sublanes for the fills (see :func:`_fill_hillis`).
     """
-    n = data.shape[-1]
-    idx = jnp.arange(n)
-    valid = ~jnp.isnan(data)
-    # Index of the nearest valid element at or before / at or after each position.
-    fwd = lax.cummax(jnp.where(valid, idx, -1), axis=data.ndim - 1)
-    bwd = n - 1 - jnp.flip(
-        lax.cummax(jnp.flip(jnp.where(valid, n - 1 - idx, -1), -1), axis=data.ndim - 1), -1
-    )
+    if data.ndim == 1:
+        return _linearly_interpolate_nans1d(data[None])[0]
+    moved = jnp.moveaxis(data, -1, -2)
+    n = moved.shape[-2]
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], moved.shape)
+    v_fwd, fwd = _fill_hillis(moved, idx, reverse=False)
+    v_bwd, bwd = _fill_hillis(moved, idx, reverse=True)
     has_fwd = fwd >= 0
-    has_bwd = bwd <= n - 1  # bwd == n when none ahead
-    v_fwd = _fill_scan(data, valid, reverse=False)
-    v_bwd = _fill_scan(data, valid, reverse=True)
-    span = jnp.maximum(bwd - fwd, 1)
-    interp = v_fwd + (idx - fwd) * (v_bwd - v_fwd) / span
-    out = jnp.where(valid, data, jnp.where(
+    has_bwd = bwd >= 0
+    span = jnp.maximum(bwd - fwd, 1).astype(moved.dtype)
+    interp = v_fwd + (idx - fwd).astype(moved.dtype) * (v_bwd - v_fwd) / span
+    out = jnp.where(~jnp.isnan(moved), moved, jnp.where(
         has_fwd & has_bwd, interp, jnp.where(has_fwd, v_fwd, jnp.where(has_bwd, v_bwd, 0.0))
     ))
-    return out.astype(data.dtype)
+    return jnp.moveaxis(out, -2, -1).astype(data.dtype)
 
 
 def _linearly_interpolate_nans(data):
