@@ -149,7 +149,9 @@ def bench_config3(args):
     rs = np.random.RandomState(seed=1)
     data = (rs.standard_normal((rows, cols, 2))).astype(np.float32)  # planar c64
     x = jnp.asarray(data)
-    timer = _accum_timer(args.iters)
+    # A bare corner turn is ~0.3 ms; the length-1-window subtraction needs
+    # enough iterations for the marginal time to clear dispatch noise.
+    timer = _accum_timer(max(args.iters, 50))
     dt = timer(tr.transpose, x)
     nbytes = rows * cols * 8 * 2  # read + write
     hbm = _hbm_gbps()

@@ -45,6 +45,12 @@ def time_scan(fn: Callable, args, iters: int = 20, warmup: bool = True) -> float
     fetch.  A loop-carried, data-dependent zero (``sum(out) * 0.0``) is
     added to the first argument so XLA can neither hoist the body nor CSE
     iterations, while the computed values stay bit-identical.
+
+    The output passes through ``lax.optimization_barrier`` before the
+    scalar reduction: without it, the algebraic simplifier folds
+    layout-only work into the reduction — ``sum(transpose(x))`` →
+    ``sum(x)`` — and a pure data-movement benchmark measures nothing
+    (bench.py config 3 read 0.000 ms this way).
     """
     import jax
     import jax.numpy as jnp
@@ -58,7 +64,7 @@ def time_scan(fn: Callable, args, iters: int = 20, warmup: bool = True) -> float
         def program(*a):
             def body(carry, _):
                 first = a[0] + carry  # carry == 0.0 always, but data-dependent
-                out = fn(first, *a[1:])
+                out = lax.optimization_barrier(fn(first, *a[1:]))
                 leaves = jax.tree_util.tree_leaves(out)
                 s = sum(jnp.sum(leaf.astype(jnp.float32)) for leaf in leaves)
                 return s * 0.0, s
