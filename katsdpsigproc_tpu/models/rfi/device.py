@@ -471,6 +471,18 @@ def make_flagger_fn(
 # ---------------------------------------------------------------------------
 
 
+class AbstractBackgroundDevice(base.Operation):
+    """Instance-level background-stage contract (reference rfi/device.py:49-62)."""
+
+
+class AbstractNoiseEstDevice(base.Operation):
+    """Instance-level noise-estimate contract (reference rfi/device.py:65-78)."""
+
+
+class AbstractThresholdDevice(base.Operation):
+    """Instance-level threshold contract (reference rfi/device.py:81-95)."""
+
+
 class AbstractBackgroundDeviceTemplate:
     use_flags: BackgroundFlags
     host_class: Type[host.AbstractBackgroundHost]
@@ -543,7 +555,7 @@ class BackgroundMedianFilterDeviceTemplate(AbstractBackgroundDeviceTemplate):
         return BackgroundMedianFilterDevice(self, channels, baselines)
 
 
-class BackgroundMedianFilterDevice(base.Operation):
+class BackgroundMedianFilterDevice(AbstractBackgroundDevice):
     """Concrete background op (reference rfi/device.py:265-333).
 
     .. rubric:: Slots
@@ -613,7 +625,7 @@ class NoiseEstMADTDeviceTemplate(AbstractNoiseEstDeviceTemplate):
         return NoiseEstMADTDevice(self, channels, baselines)
 
 
-class NoiseEstMADTDevice(base.Operation):
+class NoiseEstMADTDevice(AbstractNoiseEstDevice):
     """.. rubric:: Slots
 
     **deviations** : (baselines, channels) float32 (transposed layout)
@@ -664,7 +676,7 @@ class NoiseEstMADDeviceTemplate(AbstractNoiseEstDeviceTemplate):
         return NoiseEstMADDevice(self, channels, baselines)
 
 
-class NoiseEstMADDevice(base.Operation):
+class NoiseEstMADDevice(AbstractNoiseEstDevice):
     """.. rubric:: Slots
 
     **deviations** : (channels, baselines) float32
@@ -711,7 +723,7 @@ class ThresholdSimpleDeviceTemplate(AbstractThresholdDeviceTemplate):
         return ThresholdSimpleDevice(self, channels, baselines, n_sigma)
 
 
-class ThresholdSimpleDevice(base.Operation):
+class ThresholdSimpleDevice(AbstractThresholdDevice):
     """.. rubric:: Slots
 
     **deviations** : (channels, baselines) float32 — or (baselines, channels) if transposed
@@ -780,7 +792,7 @@ class ThresholdSumDeviceTemplate(AbstractThresholdDeviceTemplate):
         return ThresholdSumDevice(self, channels, baselines, n_sigma)
 
 
-class ThresholdSumDevice(base.Operation):
+class ThresholdSumDevice(AbstractThresholdDevice):
     """.. rubric:: Slots
 
     **deviations** : (baselines, channels) float32 (transposed layout)

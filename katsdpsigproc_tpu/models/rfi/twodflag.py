@@ -496,6 +496,48 @@ class SumThresholdFlagger:
         self._impl_cache[shape] = impl
         return impl
 
+    def get_flags_sharded(self, data, flags, mesh, axis_name: Optional[str] = None):
+        """Multi-chip :meth:`get_flags`: baselines sharded over `mesh`.
+
+        New capability (SURVEY.md §2.5): the reference parallelizes the
+        same baseline axis with host thread/process pools
+        (twodflag.py:1029-1118); here each chip flags its baseline shard.
+        Per-baseline independence means XLA partitions the program with
+        ZERO collectives — scaling is embarrassing by construction.
+
+        `axis_name` selects the mesh axis to shard baselines over
+        (default: the mesh's first axis); other mesh axes replicate.  The
+        baseline count is padded up to a multiple of the axis size and
+        the pad is cropped from the result.
+        """
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        data = np.asarray(data) if not isinstance(data, jnp.ndarray) else data
+        if data.shape != flags.shape:
+            raise ValueError("Shape mismatch")
+        if data.ndim != 3:
+            raise ValueError("data has wrong number of dimensions")
+        axis_name = axis_name or mesh.axis_names[0]
+        n_shards = mesh.shape[axis_name]
+        n_bl = data.shape[-1]
+        pad = (-n_bl) % n_shards
+        if pad:
+            data = np.concatenate([np.asarray(data)] + [np.asarray(data[..., -1:])] * pad, -1)
+            flags = np.concatenate([np.asarray(flags)] + [np.asarray(flags[..., -1:])] * pad, -1)
+        impl = self._impl(data.shape)
+        spec = PartitionSpec(None, None, axis_name)
+        sharding = NamedSharding(mesh, spec)
+        sharded = jax.jit(
+            lambda d, f: impl(d, f),
+            in_shardings=(sharding, sharding),
+            out_shardings=sharding,
+        )
+        d = jax.device_put(jnp.asarray(data), sharding)
+        f = jax.device_put(jnp.asarray(np.asarray(flags)), sharding)
+        out = np.asarray(sharded(d, f))
+        return out[..., :n_bl]
+
     def get_flags(self, data, flags, pool=None, chunk_size=None, is_multiprocess=None):
         """Compute flags for a (time, frequency, baseline) cube.
 

@@ -30,6 +30,7 @@ Environment variables (mirroring ``KATSDPSIGPROC_TUNE_MATCH`` /
     the device_kind then platform columns when no exact record matches.
 """
 
+import enum
 import functools
 import inspect
 import itertools
@@ -40,6 +41,7 @@ import time
 from typing import Any, Callable, Dict, List, Mapping, Optional
 
 import jax
+import numpy as np
 
 _logger = logging.getLogger(__name__)
 
@@ -85,6 +87,21 @@ def _device_columns() -> Dict[str, str]:
     return {"platform": platform, "device_kind": kind}
 
 
+def adapt_value(value: Any) -> Any:
+    """Coerce `value` to a stable, encodable lookup-key form.
+
+    Reference tune.py:93-104 (sqlite key adaptation): types and dtypes
+    become their ``repr``, enum members their name; everything else passes
+    through (and falls back to ``repr`` at encoding time if it is not
+    JSON-encodable).
+    """
+    if isinstance(value, type) or isinstance(value, np.dtype):
+        return repr(value)
+    if isinstance(value, enum.Enum):
+        return value.name
+    return value
+
+
 def _keys(fn: Callable, args: tuple, kwargs: dict) -> Dict[str, Any]:
     """Build the lookup key from the function's bound signature.
 
@@ -99,6 +116,7 @@ def _keys(fn: Callable, args: tuple, kwargs: dict) -> Dict[str, Any]:
     for name, value in bound.arguments.items():
         if name in ("cls", "self", "context"):
             continue
+        value = adapt_value(value)
         try:
             json.dumps(value)
             plain[name] = value

@@ -258,3 +258,15 @@ class TestFlaggerDevice:
             threshold_args=dict(n_sigma=11.0),
         )
         np.testing.assert_equal(host_flagger(vis), device_flagger(vis))
+
+
+def test_instance_abcs():
+    """Instance-level stage ABCs exist and concrete ops derive from them
+    (reference rfi/device.py:49-95)."""
+    from katsdpsigproc_tpu.models.rfi import device as d
+
+    assert issubclass(d.BackgroundMedianFilterDevice, d.AbstractBackgroundDevice)
+    assert issubclass(d.NoiseEstMADDevice, d.AbstractNoiseEstDevice)
+    assert issubclass(d.NoiseEstMADTDevice, d.AbstractNoiseEstDevice)
+    assert issubclass(d.ThresholdSimpleDevice, d.AbstractThresholdDevice)
+    assert issubclass(d.ThresholdSumDevice, d.AbstractThresholdDevice)

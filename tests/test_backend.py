@@ -37,3 +37,9 @@ def test_create_some_context_and_put():
 def test_device_kind_key():
     platform, kind = backend.device_kind_key()
     assert isinstance(platform, str) and isinstance(kind, str)
+
+
+def test_command_queue_fixture(command_queue, context):
+    """Reference parity: the command_queue fixture is the placement context
+    (queues are subsumed by XLA async dispatch)."""
+    assert command_queue is context

@@ -207,3 +207,37 @@ class TestShardedFlagger:
         fn = pflagger.make_sharded_flagger(mesh_1d)
         with pytest.raises(TypeError):
             fn(jnp.zeros((16, 8), jnp.complex64), jnp.zeros(16, jnp.uint8))
+
+
+class TestShardedTwodflag:
+    """Sharded 2-D flagger matches the single-device path bit-for-bit."""
+
+    def _data(self, n_bl):
+        rs = np.random.RandomState(seed=3)
+        shape = (32, 96, n_bl)
+        data = (rs.standard_normal(shape) + 1j * rs.standard_normal(shape)).astype(
+            np.complex64
+        )
+        data[10, :, :] *= 20.0  # planted RFI
+        flags = np.zeros(shape, np.bool_)
+        flags[:, 5, :] = True
+        return data, flags
+
+    def test_matches_unsharded(self, mesh_1d):
+        from katsdpsigproc_tpu.models.rfi import twodflag
+
+        data, flags = self._data(16)
+        flagger = twodflag.SumThresholdFlagger(freq_chunks=4)
+        expected = flagger.get_flags(data, flags)
+        out = flagger.get_flags_sharded(data, flags, mesh_1d)
+        np.testing.assert_array_equal(expected, out)
+
+    def test_pads_uneven_baselines(self, mesh_1d):
+        from katsdpsigproc_tpu.models.rfi import twodflag
+
+        data, flags = self._data(11)  # not a multiple of 8
+        flagger = twodflag.SumThresholdFlagger(freq_chunks=4)
+        expected = flagger.get_flags(data, flags)
+        out = flagger.get_flags_sharded(data, flags, mesh_1d)
+        assert out.shape == expected.shape
+        np.testing.assert_array_equal(expected, out)

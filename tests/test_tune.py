@@ -133,3 +133,20 @@ def test_force_autotune_mark(patch_autotune, tmp_path, monkeypatch):
     _FakeOp.ran = False
     assert _FakeOp.autotune(None, 4) == {"wgs": 8}
     assert _FakeOp.ran
+
+
+def test_adapt_value():
+    """Reference tune.py:93-104 key adaptation."""
+    import enum
+
+    import numpy as np
+
+    from katsdpsigproc_tpu.utils import tune
+
+    class Color(enum.Enum):
+        RED = 1
+
+    assert tune.adapt_value(np.dtype(np.float32)) == repr(np.dtype(np.float32))
+    assert tune.adapt_value(int) == repr(int)
+    assert tune.adapt_value(Color.RED) == "RED"
+    assert tune.adapt_value(42) == 42
