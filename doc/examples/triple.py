@@ -12,6 +12,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
+from katsdpsigproc_tpu.utils import backend
+
+backend.apply_platform_env()
+
 try:
     from jax.experimental.pallas import tpu as pltpu
 
