@@ -54,3 +54,8 @@ def test_maskedsumtest(amplitudes):
         args.append("--amplitudes")
     r = _run("maskedsumtest.py", *args)
     assert r.returncode == 0, r.stderr
+
+
+def test_maskedsumabstest_alias():
+    r = _run("maskedsumabstest.py", "--rows", "64", "--cols", "100", "--iters", "2")
+    assert r.returncode == 0, r.stderr
