@@ -510,7 +510,6 @@ class SumThresholdFlagger:
         baseline count is padded up to a multiple of the axis size and
         the pad is cropped from the result.
         """
-        import jax
         from jax.sharding import NamedSharding, PartitionSpec
 
         data = np.asarray(data) if not isinstance(data, jnp.ndarray) else data
@@ -534,7 +533,7 @@ class SumThresholdFlagger:
             out_shardings=sharding,
         )
         d = jax.device_put(jnp.asarray(data), sharding)
-        f = jax.device_put(jnp.asarray(np.asarray(flags)), sharding)
+        f = jax.device_put(jnp.asarray(flags), sharding)
         out = np.asarray(sharded(d, f))
         return out[..., :n_bl]
 

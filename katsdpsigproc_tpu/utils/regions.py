@@ -7,11 +7,11 @@ select the same shape and dtype.
 
 TPU-native design: ``jax.Array`` is immutable and transfers are managed by
 the runtime, so the API is functional — device-to-device and
-host-to-device copies return a NEW destination array (one fused
-slice+update under jit; XLA reuses the donated buffer where possible),
-and device-to-host copies slice ON DEVICE first so only the region
-travels over the wire.  The index-expression dialect and the error
-contract are the reference's:
+host-to-device copies return a NEW destination array (an eager
+``.at[...].set`` update, i.e. O(destination) per call; wrap the call in a
+jit with buffer donation if copies sit in a loop), and device-to-host
+copies slice ON DEVICE first so only the region travels over the wire.
+The index-expression dialect and the error contract are the reference's:
 
 - slices with positive strides (length ``(stop - start) // stride``,
   the reference's truncating formula, accel.py:633-636 — note this drops
@@ -96,7 +96,7 @@ def copy_region(src, dest, src_region: _Slice, dest_region: _Slice):
 
     Functional analogue of ``DeviceArray.copy_region``
     (reference accel.py:757-811): ``dest.at[dest_region].set(src[src_region])``
-    with the reference's validation, compiled to one XLA update.
+    with the reference's validation.
     """
     import jax.numpy as jnp
 

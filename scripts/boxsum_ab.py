@@ -9,12 +9,16 @@ pipeline.  Engines:
 * reduce_window — shipped: ``lax.reduce_window`` with the full window.
 * shifts        — pad once, then 2r+1 shifted slice adds (one fusion).
 * cumsum32      — inclusive cumsum + clamped slice difference, float32.
-* cumsum64      — same with a float64 accumulator (the reference's
-                  precision, twodflag.py:284-307), cast back to float32.
+
+(A float64-accumulator cumsum — the reference's precision,
+twodflag.py:284-307 — is NOT timed: without ``jax_enable_x64`` JAX
+silently truncates float64 to float32, and enabling x64 globally would
+change every other variant's dtypes.  cumsum32 already loses by 40x, so
+the f64 variant could only lose by more.)
 
 Engines are timed on the twodflag profile shapes and checked against
-reduce_window (exact for shifts; tolerance for the cumsum variants,
-whose association differs).
+reduce_window (exact for shifts; tolerance for cumsum, whose
+association differs).
 """
 
 import argparse
@@ -89,7 +93,6 @@ def main():
         "reduce_window": both_axes(lambda x, r, ax: twodflag._box_sum_axis(x, r, ax)),
         "shifts": both_axes(box_shifts),
         "cumsum32": both_axes(lambda x, r, ax: box_cumsum(x, r, ax, jnp.float32)),
-        "cumsum64": both_axes(lambda x, r, ax: box_cumsum(x, r, ax, jnp.float64)),
     }
 
     ref = np.asarray(jax.jit(variants["reduce_window"])(x))

@@ -1,16 +1,21 @@
 #!/usr/bin/env python
 """In-process A/B of NaN-interpolation engines for twodflag.
 
-``_linearly_interpolate_nans`` is 6.6 ms of the 12.9 ms 2-D pipeline on a
-(8, 120, 1024) block (scripts/twodflag_profile.py): the associative-scan
-fills' odd/even interleave means strided lane slicing on TPU.  Candidates:
+The associative-scan fills were 6.6 ms of the 12.9 ms 2-D pipeline on a
+(8, 120, 1024) block (scripts/twodflag_profile.py): the scan's odd/even
+interleave means strided lane slicing on TPU.  This A/B led to shipping
+the sublane variant; the old engine is INLINED here (``scan``) so the
+result stays reproducible:
 
-* ``current``   — shipped: 2x lax.cummax + 2x pair-carrying associative_scan.
+* ``scan``      — the pre-change engine: 2x lax.cummax + 2x pair-carrying
+                  associative_scan along lanes.
 * ``hillis``    — hand-rolled Hillis-Steele log-shift forward/backward fill
                   carrying (value, index) under one isnan predicate; shifts
                   are pad+slice along the last (lane) axis.
-* ``hillis_T``  — same, but freq moved to the sublane axis (transpose in/out)
-                  so the log shifts run on sublanes.
+* ``hillis_T``  — same, but freq moved to the sublane axis (transpose
+                  in/out) so the log shifts run on sublanes.  SHIPPED as
+                  ``twodflag._linearly_interpolate_nans`` (also timed, as
+                  ``shipped``).
 
 Parity of every variant vs the shipped implementation is asserted
 exactly (bitwise, NaN-free outputs) before timing.
@@ -59,6 +64,45 @@ def _fill_hillis(data, idx0, *, reverse: bool):
         iv = jnp.where(take, si, iv)
         d *= 2
     return v, iv
+
+
+def _fill_scan(data, valid, *, reverse):
+    """The pre-change fill: keep-the-latest-valid associative scan."""
+    from jax import lax
+
+    vals = jnp.where(valid, data, 0.0)
+    flags = valid.astype(data.dtype)
+
+    def comb(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf > 0, bv, av), jnp.maximum(af, bf)
+
+    v, _ = lax.associative_scan(comb, (vals, flags), axis=data.ndim - 1, reverse=reverse)
+    return v
+
+
+def interp_scan(data):
+    """The engine shipped before this A/B (2x cummax + 2x associative scan)."""
+    from jax import lax
+
+    n = data.shape[-1]
+    idx = jnp.arange(n)
+    valid = ~jnp.isnan(data)
+    fwd = lax.cummax(jnp.where(valid, idx, -1), axis=data.ndim - 1)
+    bwd = n - 1 - jnp.flip(
+        lax.cummax(jnp.flip(jnp.where(valid, n - 1 - idx, -1), -1), axis=data.ndim - 1), -1
+    )
+    has_fwd = fwd >= 0
+    has_bwd = bwd <= n - 1
+    v_fwd = _fill_scan(data, valid, reverse=False)
+    v_bwd = _fill_scan(data, valid, reverse=True)
+    span = jnp.maximum(bwd - fwd, 1)
+    interp = v_fwd + (idx - fwd) * (v_bwd - v_fwd) / span
+    out = jnp.where(valid, data, jnp.where(
+        has_fwd & has_bwd, interp, jnp.where(has_fwd, v_fwd, jnp.where(has_bwd, v_bwd, 0.0))
+    ))
+    return out.astype(data.dtype)
 
 
 def interp_hillis(data):
@@ -141,12 +185,13 @@ def main():
     data = jnp.asarray(data)
 
     variants = {
-        "current": twodflag._linearly_interpolate_nans,
+        "shipped": twodflag._linearly_interpolate_nans,
+        "scan": interp_scan,
         "hillis": interp_hillis,
         "hillis_T": interp_hillis_T,
     }
 
-    ref = np.asarray(jax.jit(variants["current"])(data))
+    ref = np.asarray(jax.jit(variants["shipped"])(data))
     assert not np.isnan(ref).any()
     for name, fn in variants.items():
         got = np.asarray(jax.jit(fn)(data))
