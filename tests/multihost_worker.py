@@ -1,0 +1,73 @@
+"""Worker for the two-process jax.distributed test (see test_multihost.py).
+
+Each process owns 2 virtual CPU devices; the pair forms a 4-device global
+mesh.  The worker runs the sharded flagger on the (baseline × channel)
+global mesh and checks the gathered mask against the host oracle — the
+same parity contract as the single-process tests, across a real process
+boundary.
+
+Usage: python multihost_worker.py <process_id> <num_processes> <port>
+"""
+
+import os
+import sys
+
+
+def main():
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    # 2 local devices per process, regardless of any inherited XLA_FLAGS
+    # (the pytest parent forces 8).
+    flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    flags.append("--xla_force_host_platform_device_count=2")
+    os.environ["XLA_FLAGS"] = " ".join(flags)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from katsdpsigproc_tpu.models.rfi import host as rfi_host
+    from katsdpsigproc_tpu.parallel import flagger as pflagger, mesh as pmesh, multihost
+
+    multihost.initialize(f"localhost:{port}", nproc, pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    assert jax.device_count() == 2 * nproc, jax.device_count()
+    print(multihost.process_summary(), flush=True)
+
+    m = multihost.pod_mesh(baseline_shards=2, channel_shards=nproc)
+
+    rs = np.random.RandomState(seed=7)  # same data in every process
+    channels, baselines = 128, 8
+    vis = (rs.standard_normal((channels, baselines))
+           + 1j * rs.standard_normal((channels, baselines))).astype(np.complex64)
+    vis[40, :] *= 60.0  # planted spike
+
+    fn = pflagger.make_sharded_flagger(m, width=13, n_sigma=11.0, threshold="sum")
+    # Build the global array from the (replicated) host copy — every
+    # process has the full dump, each device takes its shard.
+    sharding = pmesh.vis_sharding(m)
+    sharded_vis = jax.make_array_from_callback(
+        vis.shape, sharding, lambda idx: vis[idx])
+
+    flags = fn(sharded_vis)
+    gathered = multihost_utils.process_allgather(flags, tiled=True)
+
+    host_flagger = rfi_host.FlaggerHost(
+        rfi_host.BackgroundMedianFilterHost(13),
+        rfi_host.NoiseEstMADHost(),
+        rfi_host.ThresholdSumHost(11.0),
+    )
+    expected = host_flagger(np.abs(vis))
+    mism = int((np.asarray(gathered) != expected).sum())
+    assert gathered.shape == expected.shape, (gathered.shape, expected.shape)
+    assert mism == 0, f"{mism} mask mismatches vs host oracle"
+    assert expected.any(), "planted spike produced no flags"
+    print(f"process {pid}: OK ({int(expected.sum())} flags, 0 mismatches)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -24,3 +24,41 @@ def test_pod_mesh_shapes():
 def test_process_summary():
     s = multihost.process_summary()
     assert "process 0/1" in s
+
+
+def test_two_process_distributed(tmp_path):
+    """A real 2-process jax.distributed run: 2x2 (baseline x channel) global
+    mesh across the process boundary, sharded-flagger mask parity vs the
+    host oracle in each process (tests/multihost_worker.py)."""
+    import os
+    import pathlib
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:  # pick a free port
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = pathlib.Path(__file__).parent / "multihost_worker.py"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(worker.parent.parent) + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), "2", str(port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        assert "0 mismatches" in out, out
