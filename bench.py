@@ -143,7 +143,7 @@ def bench_config3(args):
     (transpose) + row reduction feeding the flagger pipeline."""
     import jax.numpy as jnp
 
-    from katsdpsigproc_tpu.ops import transpose as tr
+    from katsdpsigproc_tpu.ops import transpose as tr, wgreduce
 
     rows, cols = 8192, 2016
     rs = np.random.RandomState(seed=1)
@@ -159,6 +159,15 @@ def bench_config3(args):
         f"({nbytes / dt / 1e9:.1f} GB/s)")
     emit("transpose_8kx2016_bytes_per_second", nbytes / dt, "B/s",
          (nbytes / dt) / (TARGET_FRACTION * hbm * 1e9))
+
+    # Row-reduction leg (hreduce: per-row sum of the amplitude plane).
+    amp = jnp.asarray(np.hypot(data[..., 0], data[..., 1]))
+    dt_r = timer(lambda a: wgreduce.reduce(a, wgreduce.plus, axis=1), amp)
+    rbytes = rows * cols * 4  # one read; output negligible
+    log(f"config3 hreduce {rows}x{cols} f32 row-sum: {dt_r * 1e3:.3f} ms "
+        f"({rbytes / dt_r / 1e9:.1f} GB/s)")
+    emit("hreduce_8kx2016_bytes_per_second", rbytes / dt_r, "B/s",
+         (rbytes / dt_r) / (TARGET_FRACTION * hbm * 1e9))
 
 
 def bench_config4(args):
