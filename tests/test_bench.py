@@ -1,0 +1,50 @@
+"""Smoke tests for bench.py — the driver runs it at the end of every round,
+so its CLI contract (exit 0, ONE parseable JSON line per metric on stdout)
+must never regress."""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _run(*args):
+    env = dict(os.environ)
+    env["KATSDPSIGPROC_TPU_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = str(ROOT) + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, str(ROOT / "bench.py"), *args],
+        cwd=str(ROOT), env=env, capture_output=True, text=True, timeout=560,
+    )
+
+
+def _json_lines(stdout: str):
+    lines = [json.loads(s) for s in stdout.strip().splitlines() if s.strip()]
+    for rec in lines:
+        assert set(rec) >= {"metric", "value", "unit", "vs_baseline"}, rec
+        assert rec["value"] > 0
+    return lines
+
+
+@pytest.mark.slow
+def test_headline_small():
+    r = _run("--iters", "2", "--channels", "512", "--baselines", "64", "--slab", "32")
+    assert r.returncode == 0, r.stderr[-2000:]
+    (rec,) = _json_lines(r.stdout)
+    assert rec["metric"] == "rfi_flagger_visibilities_per_second_per_chip"
+    assert "parity" in r.stderr  # mask-parity assertion ran
+
+
+def test_config2():
+    r = _run("--config", "2", "--iters", "2")
+    assert r.returncode == 0, r.stderr[-2000:]
+    recs = _json_lines(r.stdout)
+    assert {rec["metric"] for rec in recs} == {
+        "percentile5_64x4k_elements_per_second",
+        "maskedsum_4kx64_elements_per_second",
+    }
