@@ -88,3 +88,52 @@ def reduce(values, op: ReduceOp, axis=-1):
     return jax.lax.reduce(
         values, op.identity(values.dtype), lambda a, b: op.combine(a, b), (axis % values.ndim,)
     )
+
+
+def scan(values, op: ReduceOp, axis=-1, reverse: bool = False, exclusive: bool = False):
+    """Inclusive (or exclusive) prefix scan of `values` along `axis` with `op`.
+
+    The work-group-scan analogue of :func:`reduce` (the reference's
+    wg_reduce.mako provides only the reduction; the scan is the natural
+    TPU-native companion — SumThreshold-style windowed passes and the
+    chunked noise estimates are built from prefix structures).  Named
+    operators use XLA's native cumulative lowerings; user-defined
+    operators go through ``lax.associative_scan`` (the operator must be
+    associative).
+
+    NOTE (measured, scripts/boxsum_ab.py): cumulative ops along the LANE
+    (last) axis are sequential scans on TPU — put the scanned axis on
+    sublanes for long arrays.
+    """
+    import jax
+
+    if exclusive:
+        inclusive = scan(values, op, axis=axis, reverse=reverse, exclusive=False)
+        pad_shape = list(values.shape)
+        pad_shape[axis % values.ndim] = 1
+        identity = jnp.full(pad_shape, op.identity(values.dtype), values.dtype)
+        n = values.shape[axis % values.ndim]
+        if reverse:
+            body = jax.lax.slice_in_dim(inclusive, 1, n, axis=axis % values.ndim)
+            return jnp.concatenate([body, identity], axis=axis % values.ndim)
+        body = jax.lax.slice_in_dim(inclusive, 0, n - 1, axis=axis % values.ndim)
+        return jnp.concatenate([identity, body], axis=axis % values.ndim)
+
+    if op.name == "plus":
+        out = jnp.cumsum(jnp.flip(values, axis) if reverse else values, axis=axis)
+        return jnp.flip(out, axis) if reverse else out
+    if op.name == "max":
+        return jax.lax.cummax(values, axis=axis % values.ndim, reverse=reverse)
+    if op.name == "min":
+        return jax.lax.cummin(values, axis=axis % values.ndim, reverse=reverse)
+    if op.name in ("fmax", "fmin"):
+        sentinel = -jnp.inf if op.name == "fmax" else jnp.inf
+        masked = jnp.where(jnp.isnan(values), sentinel, values)
+        cum = (jax.lax.cummax if op.name == "fmax" else jax.lax.cummin)(
+            masked, axis=axis % values.ndim, reverse=reverse
+        )
+        all_nan = cum == sentinel  # no non-NaN seen yet
+        return jnp.where(all_nan, jnp.nan, cum).astype(values.dtype)
+    return jax.lax.associative_scan(
+        op.combine, values, axis=axis % values.ndim, reverse=reverse
+    )

@@ -294,3 +294,52 @@ class TestWgReduce:
         np.testing.assert_allclose(np.asarray(wgreduce.reduce(y, wgreduce.plus)), [6.0])
         np.testing.assert_allclose(np.asarray(wgreduce.reduce(y, wgreduce.max_)), [3.0])
         np.testing.assert_allclose(np.asarray(wgreduce.reduce(y, wgreduce.min_)), [1.0])
+
+
+class TestWgScan:
+    """Prefix-scan companion of the reduction library (ops.wgreduce.scan)."""
+
+    def _data(self):
+        rs = np.random.RandomState(seed=5)
+        return rs.standard_normal((6, 40)).astype(np.float32)
+
+    @pytest.mark.parametrize("reverse", [False, True])
+    def test_plus_matches_numpy(self, reverse):
+        x = self._data()
+        out = np.asarray(wgreduce.scan(jnp.asarray(x), wgreduce.plus, axis=-1,
+                                       reverse=reverse))
+        exp = np.cumsum(x[:, ::-1], axis=-1)[:, ::-1] if reverse else np.cumsum(x, -1)
+        np.testing.assert_allclose(exp, out, rtol=1e-5, atol=1e-5)  # tree vs serial assoc.
+
+    def test_max_min(self):
+        x = self._data()
+        np.testing.assert_array_equal(
+            np.maximum.accumulate(x, -1),
+            np.asarray(wgreduce.scan(jnp.asarray(x), wgreduce.max_, axis=-1)))
+        np.testing.assert_array_equal(
+            np.minimum.accumulate(x, -1),
+            np.asarray(wgreduce.scan(jnp.asarray(x), wgreduce.min_, axis=-1)))
+
+    def test_exclusive(self):
+        x = self._data()
+        out = np.asarray(wgreduce.scan(jnp.asarray(x), wgreduce.plus, axis=-1,
+                                       exclusive=True))
+        exp = np.concatenate([np.zeros((x.shape[0], 1), x.dtype),
+                              np.cumsum(x, -1)[:, :-1]], -1)
+        np.testing.assert_allclose(exp, out, rtol=1e-5, atol=1e-5)
+
+    def test_fmax_ignores_nan(self):
+        x = self._data()
+        x[:, 7] = np.nan
+        x[2, :3] = np.nan
+        out = np.asarray(wgreduce.scan(jnp.asarray(x), wgreduce.fmax, axis=-1))
+        exp = np.fmax.accumulate(np.where(np.isnan(x), -np.inf, x), -1)
+        exp = np.where(np.isinf(exp) & (exp < 0), np.nan, exp)
+        np.testing.assert_array_equal(exp, out)
+
+    def test_custom_operator(self):
+        x = np.abs(self._data()) + 0.1
+        mul = wgreduce.ReduceOp("prod", lambda a, b: a * b,
+                                lambda dt: jnp.ones((), dt))
+        out = np.asarray(wgreduce.scan(jnp.asarray(x), mul, axis=-1))
+        np.testing.assert_allclose(np.cumprod(x, -1), out, rtol=1e-4)
