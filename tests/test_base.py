@@ -158,3 +158,19 @@ class TestShapes:
         assert shapes.divup(7, 3) == 3
         assert shapes.roundup(7, 3) == 9
         assert shapes.roundup(6, 3) == 6
+
+
+def test_pad_to_and_crop_roundtrip():
+    x = jnp.arange(12, dtype=jnp.float32).reshape(3, 4)
+    padded = shapes.pad_to(x, (5, 6), pad_value=jnp.nan)
+    assert padded.shape == (5, 6)
+    assert bool(jnp.isnan(padded[3:, :]).all()) and bool(jnp.isnan(padded[:, 4:]).all())
+    np.testing.assert_array_equal(np.asarray(shapes.crop_to(padded, (3, 4))), np.asarray(x))
+    assert shapes.pad_to(x, (3, 4)) is x  # no-op returns the same array
+
+
+def test_as_output():
+    from katsdpsigproc_tpu.ops import base as ops_base
+
+    arr = jnp.zeros(3)
+    assert ops_base.as_output("dest", arr) == {"dest": arr}
