@@ -205,6 +205,32 @@ def bench_config4(args):
          (n * 9 / dt) / (TARGET_FRACTION * hbm * 1e9))
 
 
+def _probe_device(timeout_s: float = 180.0):
+    """Fail fast (exit 3) if the device cannot run a trivial op.
+
+    The tunneled TPU backend hangs indefinitely when the remote side is
+    down; without this probe the driver's round-end bench run would
+    block for hours with no output instead of reporting the outage.
+    """
+    import threading
+
+    done = threading.Event()
+
+    def trivial():
+        import jax
+        import jax.numpy as jnp
+
+        np.asarray(jnp.sum(jnp.ones((8, 128)) * 3.0))
+        done.set()
+
+    t = threading.Thread(target=trivial, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        log(f"ERROR: device unreachable — a trivial op did not complete in "
+            f"{timeout_s:.0f}s (tunneled backend down?). Aborting bench.")
+        os._exit(3)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--channels", type=int, default=32768)
@@ -227,6 +253,7 @@ def main():
     from katsdpsigproc_tpu.utils import backend as _backend
 
     _backend.apply_platform_env()
+    _probe_device()
 
     if args.config and args.config != "5":
         benches = {"1": bench_config1, "2": bench_config2, "3": bench_config3,
