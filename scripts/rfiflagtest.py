@@ -39,7 +39,21 @@ def benchmark1d(args, data):
 
     if args.width % 2 != 1:
         raise ValueError("Width must be odd")
-    fn = rfi_device.make_flagger_fn(args.width, args.sigmas, threshold="sum")
+    interpret = jax.devices()[0].platform == "cpu"
+    if args.engine == "pallas":
+        # The fused single-kernel engine (baseline-major layout; bb=8
+        # satisfies the sublane-tiling constraint on small shapes).
+        from katsdpsigproc_tpu.models.rfi import pallas_flagger
+
+        def fn(vis):
+            flags_t = pallas_flagger.flag_dump(
+                jnp.swapaxes(vis, 0, 1), width=args.width, n_sigma=args.sigmas,
+                bb=8, interpret=interpret)
+            return jnp.swapaxes(flags_t, 0, 1)
+    else:
+        pallas_kw = dict(bb=8, interpret=interpret) if args.engine == "hybrid" else None
+        fn = rfi_device.make_flagger_fn(args.width, args.sigmas, threshold="sum",
+                                        engine=args.engine, pallas_kw=pallas_kw)
     # Planar split-complex layout: TPU backends have no complex dtype
     vis = jnp.asarray(rfi_device.to_planar(data))
     start = time.perf_counter()
@@ -89,6 +103,8 @@ def main():
     parser.add_argument("--baselines", type=int, default=512)
     parser.add_argument("--width", type=int, default=13)
     parser.add_argument("--sigmas", type=float, default=11.0)
+    parser.add_argument("--engine", choices=["xla", "hybrid", "pallas"], default="xla",
+                        help="1-D flagger engine (bench.py times all three)")
     parser.add_argument("--skip-host", action="store_true")
     args = parser.parse_args()
 

@@ -59,3 +59,11 @@ def test_maskedsumtest(amplitudes):
 def test_maskedsumabstest_alias():
     r = _run("maskedsumabstest.py", "--rows", "64", "--cols", "100", "--iters", "2")
     assert r.returncode == 0, r.stderr
+
+
+@pytest.mark.parametrize("engine", ["xla", "hybrid", "pallas"])
+def test_rfiflagtest_engines(engine):
+    r = _run("rfiflagtest.py", "--channels", "256", "--baselines", "32",
+             "--engine", engine)
+    assert r.returncode == 0, r.stderr
+    assert "Mask mismatches: 0" in r.stderr
