@@ -67,3 +67,8 @@ def test_rfiflagtest_engines(engine):
              "--engine", engine)
     assert r.returncode == 0, r.stderr
     assert "Mask mismatches: 0" in r.stderr
+
+
+def test_api_index_fresh():
+    r = _run("gen_api_index.py", "--check")
+    assert r.returncode == 0, r.stderr
