@@ -509,6 +509,12 @@ class SumThresholdFlagger:
         (default: the mesh's first axis); other mesh axes replicate.  The
         baseline count is padded up to a multiple of the axis size and
         the pad is cropped from the result.
+
+        Works across processes too (a multi-host pod mesh): every process
+        passes the full (replicated) host cube, each device takes its
+        shard, and the flags are allgathered back to every process
+        (tests/multihost_worker.py exercises this over two real
+        processes).
         """
         from jax.sharding import NamedSharding, PartitionSpec
 
@@ -524,6 +530,7 @@ class SumThresholdFlagger:
         if pad:
             data = np.concatenate([np.asarray(data)] + [np.asarray(data[..., -1:])] * pad, -1)
             flags = np.concatenate([np.asarray(flags)] + [np.asarray(flags[..., -1:])] * pad, -1)
+        data, flags = np.asarray(data), np.asarray(flags)
         impl = self._impl(data.shape)
         spec = PartitionSpec(None, None, axis_name)
         sharding = NamedSharding(mesh, spec)
@@ -532,10 +539,14 @@ class SumThresholdFlagger:
             in_shardings=(sharding, sharding),
             out_shardings=sharding,
         )
-        d = jax.device_put(jnp.asarray(data), sharding)
-        f = jax.device_put(jnp.asarray(flags), sharding)
-        out = np.asarray(sharded(d, f))
-        return out[..., :n_bl]
+        d = jax.make_array_from_callback(data.shape, sharding, lambda idx: data[idx])
+        f = jax.make_array_from_callback(flags.shape, sharding, lambda idx: flags[idx])
+        out = sharded(d, f)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            out = multihost_utils.process_allgather(out, tiled=True)
+        return np.asarray(out)[..., :n_bl]
 
     def get_flags(self, data, flags, pool=None, chunk_size=None, is_multiprocess=None):
         """Compute flags for a (time, frequency, baseline) cube.

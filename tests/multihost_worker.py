@@ -66,7 +66,23 @@ def main():
     assert gathered.shape == expected.shape, (gathered.shape, expected.shape)
     assert mism == 0, f"{mism} mask mismatches vs host oracle"
     assert expected.any(), "planted spike produced no flags"
-    print(f"process {pid}: OK ({int(expected.sum())} flags, 0 mismatches)", flush=True)
+
+    # 2-D flagger across the same two processes (baselines sharded).
+    from katsdpsigproc_tpu.models.rfi import twodflag
+
+    shape = (24, 64, 8)
+    cube = (rs.standard_normal(shape) + 1j * rs.standard_normal(shape)).astype(np.complex64)
+    cube[5] *= 30.0
+    in_flags = np.zeros(shape, np.bool_)
+    flagger2d = twodflag.SumThresholdFlagger(freq_chunks=4)
+    m1 = multihost.pod_mesh()  # all 4 devices on the baseline axis
+    out2d = flagger2d.get_flags_sharded(cube, in_flags, m1)
+    exp2d = flagger2d.get_flags(cube, in_flags)
+    mism2d = int((out2d != exp2d).sum())
+    assert mism2d == 0, f"{mism2d} 2-D mask mismatches vs single-device path"
+
+    print(f"process {pid}: OK ({int(expected.sum())} flags, 0 mismatches; "
+          f"2-D 0 mismatches)", flush=True)
 
 
 if __name__ == "__main__":
