@@ -56,5 +56,14 @@ def noise_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard(mesh: Mesh, array, transposed: bool = False):
-    """Place a (channels, baselines)-shaped array onto the mesh."""
-    return jax.device_put(array, vis_sharding(mesh, transposed))
+    """Place a (channels, baselines)-shaped array onto the mesh.
+
+    Works across processes: when the mesh spans a multi-host slice, every
+    process passes the full (replicated) host array and each device takes
+    its shard (``device_put`` would reject a multi-process sharding).
+    """
+    sharding = vis_sharding(mesh, transposed)
+    if jax.process_count() > 1:
+        array = np.asarray(array)
+        return jax.make_array_from_callback(array.shape, sharding, lambda idx: array[idx])
+    return jax.device_put(array, sharding)

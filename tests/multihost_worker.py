@@ -47,11 +47,9 @@ def main():
     vis[40, :] *= 60.0  # planted spike
 
     fn = pflagger.make_sharded_flagger(m, width=13, n_sigma=11.0, threshold="sum")
-    # Build the global array from the (replicated) host copy — every
-    # process has the full dump, each device takes its shard.
-    sharding = pmesh.vis_sharding(m)
-    sharded_vis = jax.make_array_from_callback(
-        vis.shape, sharding, lambda idx: vis[idx])
+    # Every process passes the full (replicated) dump; pmesh.shard gives
+    # each device its shard across the process boundary.
+    sharded_vis = pmesh.shard(m, vis)
 
     flags = fn(sharded_vis)
     gathered = multihost_utils.process_allgather(flags, tiled=True)
