@@ -93,3 +93,59 @@ def test_copy_region_errors():
     with pytest.raises(TypeError):  # dtype mismatch
         regions.copy_region(jnp.zeros(4, jnp.float32), jnp.zeros(4, jnp.int32),
                             np.s_[:], np.s_[:])
+
+
+def test_fuzz_vs_numpy_semantics():
+    """100 random region pairs: copy_region == numpy slice assignment.
+
+    Slices are generated with (stop - start) % stride == 0 so the
+    reference's truncating length formula (accel.py:633) coincides with
+    numpy's; ints, newaxis, and implied trailing axes are mixed in.
+    """
+    rs = np.random.RandomState(seed=11)
+
+    def random_region(shape, sel_shape_out):
+        region = []
+        for dim in shape:
+            kind = rs.choice(["slice", "int", "full", "stop"])
+            if kind == "int":
+                region.append(int(rs.randint(dim)))
+            elif kind == "full":
+                region.append(np.s_[:])
+                sel_shape_out.append(dim)
+            elif kind == "stop":
+                n = int(rs.randint(1, dim + 1))
+                start = int(rs.randint(0, dim - n + 1))
+                region.append(slice(start, start + n))
+                sel_shape_out.append(n)
+            else:
+                stride = int(rs.randint(1, min(3, dim) + 1))
+                n = int(rs.randint(1, dim // stride + 1))
+                start = int(rs.randint(0, dim - n * stride + 1))
+                region.append(slice(start, start + n * stride, stride))
+                sel_shape_out.append(n)
+        if rs.rand() < 0.3 and region and isinstance(region[-1], slice):
+            region.pop()  # implied trailing axis selects the whole axis
+            sel_shape_out[-1] = shape[-1]
+        return tuple(region)
+
+    for trial in range(100):
+        ndim = int(rs.randint(1, 4))
+        src_shape = tuple(int(rs.randint(1, 9)) for _ in range(ndim))
+        sel = []
+        src_region = random_region(src_shape, sel)
+        # destination: same selection shape, fresh layout
+        extra = int(rs.randint(0, 2))
+        dest_shape = tuple(s + int(rs.randint(0, 3)) for s in sel) or (1,)
+        dest_region = tuple(slice(0, s) for s in sel) or (slice(0, 1),)
+        if not sel:
+            dest_shape, dest_region = (), ()
+        h_src = rs.uniform(size=src_shape).astype(np.float32)
+        h_dest = rs.uniform(size=dest_shape).astype(np.float32)
+        out = regions.copy_region(jnp.asarray(h_src), jnp.asarray(h_dest),
+                                  src_region, dest_region)
+        expected = h_dest.copy()
+        expected[dest_region] = h_src[src_region].reshape(
+            expected[dest_region].shape)
+        np.testing.assert_array_equal(expected, np.asarray(out),
+                                      err_msg=f"trial {trial}: {src_region} -> {dest_region}")
