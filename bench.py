@@ -333,6 +333,10 @@ def main():
             sub_t, width=args.width, n_sigma=11.0, bb=min(8, sub_t.shape[0]),
             interpret=interpret,
         )
+        pallas_dma_parity = pallas_flagger.flag_transposed_dma(
+            sub_t, width=args.width, n_sigma=11.0, bb=min(8, sub_t.shape[0]),
+            interpret=interpret,
+        )
         hybrid_parity_fn = rfi_device.make_flagger_fn(
             args.width, 11.0, threshold="sum", engine="hybrid",
             pallas_kw=dict(bb=min(8, sub_t.shape[0]), interpret=interpret),
@@ -340,6 +344,7 @@ def main():
         for name, got in [
             ("xla", np.asarray(xla_parity_fn(jnp.asarray(planar)))),
             ("pallas", np.asarray(pallas_parity).T),
+            ("pallas_dma", np.asarray(pallas_dma_parity).T),
             ("hybrid", np.asarray(hybrid_parity_fn(jnp.asarray(planar)))),
         ]:
             mismatches = int((got != expected).sum())
@@ -369,6 +374,18 @@ def main():
         results["pallas"] = dt_slab * (args.baselines / slab)
     except Exception as exc:  # noqa: BLE001
         log(f"pallas engine failed: {exc}")
+    try:
+        # One grid step per slab: the in-kernel DMA block loop pays the
+        # per-grid-step dispatch overhead once instead of once per block.
+        dt_dma = timer(
+            lambda v: pallas_flagger.flag_transposed_dma(
+                v, width=args.width, n_sigma=11.0, bb=args.bb, interpret=interpret,
+            ),
+            vis_t_slab,
+        )
+        results["pallas_dma"] = dt_dma * (args.baselines / slab)
+    except Exception as exc:  # noqa: BLE001
+        log(f"pallas_dma engine failed: {exc}")
     del vis_t_slab
     vis_xla = jnp.asarray(planar)
     try:

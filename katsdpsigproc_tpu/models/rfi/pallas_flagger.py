@@ -694,3 +694,137 @@ def flag_transposed(vis_t, input_flags=None, width: int = 13, n_sigma: float = 1
     stacked = jnp.stack(outs).reshape(nref, grid_steps, block_rows, fold)
     out = jnp.moveaxis(stacked, 0, 1).reshape(baselines * hh, fold)
     return out.reshape(baselines, padded_c)[:, :channels]
+
+
+def _flagger_kernel_dma(*refs, n_blocks: int, block_rows: int, fold: int,
+                        algo_kw: dict):
+    """One-grid-step flagger: an in-kernel block loop with manual DMA.
+
+    The grid engine pays this environment's per-grid-step dispatch
+    overhead (~59 µs through the remote tunnel) once per ``bb``-baseline
+    block — 252 times per slab at bb=1.  Here the whole slab is ONE grid
+    step: visibilities stay in HBM (``memory_space=ANY``), a
+    ``fori_loop`` walks the blocks, and a two-slot VMEM scratch double-
+    buffers the HBM→VMEM block DMA against compute (the guide's
+    double-buffering pattern).  Output flags DMA back per block; slot
+    reuse waits on the write two iterations behind.
+    """
+    flags_mode = algo_kw["flags_mode"]
+    if flags_mode == "channel":
+        vis_hbm, cf_ref, flags_hbm = refs
+    else:
+        vis_hbm, flags_hbm = refs
+        cf_ref = None
+
+    def body(scratch_in, scratch_out, in_sems, out_sems):
+        def in_dma(slot, idx):
+            return pltpu.make_async_copy(
+                vis_hbm.at[pl.ds(idx * block_rows, block_rows)],
+                scratch_in.at[slot],
+                in_sems.at[slot],
+            )
+
+        def out_dma(slot, idx):
+            return pltpu.make_async_copy(
+                scratch_out.at[slot],
+                flags_hbm.at[pl.ds(idx * block_rows, block_rows)],
+                out_sems.at[slot],
+            )
+
+        in_dma(0, 0).start()
+
+        def loop(i, carry):
+            cur = lax.rem(i, 2)
+            nxt = lax.rem(i + 1, 2)
+
+            @pl.when(i + 1 < n_blocks)
+            def _():
+                in_dma(nxt, i + 1).start()
+
+            in_dma(cur, i).wait()
+
+            # The flags written from this slot two blocks ago must have
+            # landed before the slot's output buffer is overwritten.
+            @pl.when(i >= 2)
+            def _():
+                out_dma(cur, i - 2).wait()
+
+            _flagger_body(scratch_in.at[cur], cf_ref, scratch_out.at[cur], **algo_kw)
+            out_dma(cur, i).start()
+            return carry
+
+        lax.fori_loop(0, n_blocks, loop, jnp.int32(0))
+
+        # n_blocks is static: drain the last one or two in-flight writes.
+        if n_blocks >= 2:
+            out_dma((n_blocks - 2) % 2, n_blocks - 2).wait()
+        out_dma((n_blocks - 1) % 2, n_blocks - 1).wait()
+
+    pl.run_scoped(
+        body,
+        scratch_in=pltpu.VMEM((2, block_rows, fold, 2), jnp.float32),
+        scratch_out=pltpu.VMEM((2, block_rows, fold), jnp.uint8),
+        in_sems=pltpu.SemaphoreType.DMA((2,)),
+        out_sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def flag_transposed_dma(vis_t, width: int = 13, n_sigma: float = 11.0,
+                        n_windows: int = 4, falloff: float = 1.2, flag_value: int = 1,
+                        bb: int = 1, fold: int = 1024, interpret: bool = False,
+                        channel_flags=None):
+    """:func:`flag_transposed` with the in-kernel DMA pipeline.
+
+    Same semantics and band-folded layout; the block loop runs INSIDE one
+    kernel invocation (see :func:`_flagger_kernel_dma`), so per-grid-step
+    dispatch overhead is paid once per slab instead of once per block.
+    FULL-mode input flags are not supported on this engine (use the grid
+    engine); CHANNEL-mode flags ride a small VMEM input shared by every
+    block.
+    """
+    baselines, channels = vis_t.shape[0], vis_t.shape[1]
+    if baselines % bb:
+        raise ValueError(f"baselines ({baselines}) must divide by bb ({bb})")
+    fold = min(fold, max(128, -(-channels // 128) * 128)) if channels > 128 else channels
+    hh = -(-channels // fold)
+    if (bb * hh) % 8 and bb != baselines:
+        raise ValueError(
+            f"block rows bb*H = {bb}*{hh} must be a multiple of 8 (TPU sublane "
+            f"tiling) — raise bb or lower fold"
+        )
+    padded_c = hh * fold
+    if padded_c != channels:
+        vis_t = jnp.pad(vis_t, ((0, 0), (0, padded_c - channels), (0, 0)))
+        if channel_flags is not None:
+            channel_flags = jnp.pad(channel_flags, ((0, padded_c - channels),))
+    folded = vis_t.reshape(baselines * hh, fold, 2)
+    block_rows = bb * hh
+    n_blocks = baselines // bb
+
+    algo_kw = dict(
+        width=width, n_sigma=n_sigma, n_windows=n_windows, falloff=falloff,
+        flag_value=flag_value, channels=channels, h=hh,
+        flags_mode="channel" if channel_flags is not None else "none",
+        interpret=interpret,
+    )
+    kernel = functools.partial(
+        _flagger_kernel_dma, n_blocks=n_blocks, block_rows=block_rows, fold=fold,
+        algo_kw=algo_kw,
+    )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    operands = [folded]
+    if channel_flags is not None:
+        in_specs.append(pl.BlockSpec(memory_space=_VMEM))
+        operands.append(channel_flags.reshape(hh, fold))
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    out = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((baselines * hh, fold), jnp.uint8),
+        interpret=interpret,
+        **kwargs,
+    )(*operands)
+    return out.reshape(baselines, padded_c)[:, :channels]

@@ -40,15 +40,21 @@ def benchmark1d(args, data):
     if args.width % 2 != 1:
         raise ValueError("Width must be odd")
     interpret = jax.devices()[0].platform == "cpu"
-    if args.engine == "pallas":
-        # The fused single-kernel engine (baseline-major layout; bb=8
+    if args.engine in ("pallas", "pallas_dma"):
+        # The fused single-kernel engines (baseline-major layout; bb=8
         # satisfies the sublane-tiling constraint on small shapes).
         from katsdpsigproc_tpu.models.rfi import pallas_flagger
 
         def fn(vis):
-            flags_t = pallas_flagger.flag_dump(
-                jnp.swapaxes(vis, 0, 1), width=args.width, n_sigma=args.sigmas,
-                bb=8, interpret=interpret)
+            vis_t = jnp.swapaxes(vis, 0, 1)
+            if args.engine == "pallas_dma":
+                flags_t = pallas_flagger.flag_transposed_dma(
+                    vis_t, width=args.width, n_sigma=args.sigmas,
+                    bb=8, interpret=interpret)
+            else:
+                flags_t = pallas_flagger.flag_dump(
+                    vis_t, width=args.width, n_sigma=args.sigmas,
+                    bb=8, interpret=interpret)
             return jnp.swapaxes(flags_t, 0, 1)
     else:
         pallas_kw = dict(bb=8, interpret=interpret) if args.engine == "hybrid" else None
@@ -103,7 +109,8 @@ def main():
     parser.add_argument("--baselines", type=int, default=512)
     parser.add_argument("--width", type=int, default=13)
     parser.add_argument("--sigmas", type=float, default=11.0)
-    parser.add_argument("--engine", choices=["xla", "hybrid", "pallas"], default="xla",
+    parser.add_argument("--engine", choices=["xla", "hybrid", "pallas", "pallas_dma"],
+                        default="xla",
                         help="1-D flagger engine (bench.py times all three)")
     parser.add_argument("--skip-host", action="store_true")
     args = parser.parse_args()

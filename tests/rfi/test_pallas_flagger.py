@@ -196,3 +196,36 @@ def test_fused_template_tuning_override():
 def test_bad_bb():
     with pytest.raises(ValueError):
         pallas_flagger.flag_transposed(jnp.zeros((10, 64, 2), jnp.float32), bb=4, interpret=True)
+
+
+class TestDmaPipeline:
+    """In-kernel DMA block loop (flag_transposed_dma) vs the grid engine."""
+
+    def _vis(self, b=16, c=300):
+        rs = np.random.RandomState(3)
+        vis = rs.standard_normal((b, c, 2)).astype(np.float32)
+        vis[:, 120, :] *= 40.0
+        return jnp.asarray(vis)
+
+    def test_matches_grid_engine(self):
+        vt = self._vis()
+        ref = np.asarray(pallas_flagger.flag_transposed(vt, bb=8, interpret=True))
+        got = np.asarray(pallas_flagger.flag_transposed_dma(vt, bb=8, interpret=True))
+        assert ref.any()
+        np.testing.assert_array_equal(ref, got)
+
+    def test_single_block(self):
+        vt = self._vis(b=8)
+        ref = np.asarray(pallas_flagger.flag_transposed(vt, bb=8, interpret=True))
+        got = np.asarray(pallas_flagger.flag_transposed_dma(vt, bb=8, interpret=True))
+        np.testing.assert_array_equal(ref, got)
+
+    def test_channel_flags(self):
+        vt = self._vis()
+        cf = np.zeros(vt.shape[1], np.uint8)
+        cf[5] = 1
+        ref = np.asarray(pallas_flagger.flag_transposed(
+            vt, bb=8, interpret=True, channel_flags=jnp.asarray(cf)))
+        got = np.asarray(pallas_flagger.flag_transposed_dma(
+            vt, bb=8, interpret=True, channel_flags=jnp.asarray(cf)))
+        np.testing.assert_array_equal(ref, got)
