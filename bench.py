@@ -309,6 +309,12 @@ def main():
         engine="hybrid",
         pallas_kw=dict(bb=args.bb, nref=args.nref, interpret=interpret),
     )
+    hybrid_dma_fn = rfi_device.make_flagger_fn(
+        args.width, 11.0, threshold="sum",
+        baseline_block=min(args.slab, args.baselines),
+        engine="hybrid",
+        pallas_kw=dict(bb=args.bb, interpret=interpret, pipeline="dma"),
+    )
 
     def pallas_fn(vis_t):
         return pallas_flagger.flag_dump(
@@ -392,6 +398,10 @@ def main():
         results["hybrid"] = timer(hybrid_fn, vis_xla)
     except Exception as exc:  # noqa: BLE001
         log(f"hybrid engine failed: {exc}")
+    try:
+        results["hybrid_dma"] = timer(hybrid_dma_fn, vis_xla)
+    except Exception as exc:  # noqa: BLE001
+        log(f"hybrid_dma engine failed: {exc}")
     results["xla"] = timer(xla_fn, vis_xla)
     for name, t in results.items():
         log(f"engine[{name}]: {t * 1e3:.3f} ms ({n_vis / t / 1e9:.2f} Gvis/s)")

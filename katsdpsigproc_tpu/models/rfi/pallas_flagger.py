@@ -363,36 +363,47 @@ def _madnz_threshold_kernel(*refs, nref: int, n_sigma: float, n_windows: int,
     dev_refs = refs[:nref]
     out_refs = refs[nref:]
     for k in range(nref):
-        dev = dev_refs[k][...]
-        rows, ww = dev.shape
-        col = (
-            (lax.broadcasted_iota(jnp.int32, dev.shape, 0) % h) * ww
-            + lax.broadcasted_iota(jnp.int32, dev.shape, 1)
-        )
-        in_band = col < channels
-        g = _band_matrix(rows, h)
-        absdev = jnp.where(in_band, jnp.abs(dev), _NAN)
-        noise_rows = _madnz_band(absdev, g, h, channels, interpret)
-        dev0 = jnp.where(in_band, dev, 0.0)
-        flags = _threshold_sum_band(dev0, noise_rows, col, channels, n_sigma, n_windows,
-                                    falloff, interpret)
-        out_refs[k][:, :] = (flags * flag_value).astype(jnp.int32).astype(jnp.uint8)
+        _madnz_threshold_block(dev_refs[k], out_refs[k], n_sigma=n_sigma,
+                               n_windows=n_windows, falloff=falloff,
+                               flag_value=flag_value, channels=channels, h=h,
+                               interpret=interpret)
+
+
+def _madnz_threshold_block(dev_ref, out_ref, *, n_sigma, n_windows, falloff,
+                           flag_value, channels, h, interpret):
+    dev = dev_ref[...]
+    rows, ww = dev.shape
+    col = (
+        (lax.broadcasted_iota(jnp.int32, dev.shape, 0) % h) * ww
+        + lax.broadcasted_iota(jnp.int32, dev.shape, 1)
+    )
+    in_band = col < channels
+    g = _band_matrix(rows, h)
+    absdev = jnp.where(in_band, jnp.abs(dev), _NAN)
+    noise_rows = _madnz_band(absdev, g, h, channels, interpret)
+    dev0 = jnp.where(in_band, dev, 0.0)
+    flags = _threshold_sum_band(dev0, noise_rows, col, channels, n_sigma, n_windows,
+                                falloff, interpret)
+    out_ref[:, :] = (flags * flag_value).astype(jnp.int32).astype(jnp.uint8)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_sigma", "n_windows", "falloff", "flag_value", "bb", "fold",
-                     "interpret", "nref"),
+                     "interpret", "nref", "pipeline"),
 )
 def madnz_threshold(dev_t, n_sigma: float = 11.0, n_windows: int = 4, falloff: float = 1.2,
                     flag_value: int = 1, bb: int = 4, fold: int = 1024,
-                    interpret: bool = False, nref: int = 1):
+                    interpret: bool = False, nref: int = 1, pipeline: str = "grid"):
     """Fused MAD-noise + SumThreshold Pallas op on (baselines, channels)
     float32 deviations; returns (baselines, channels) uint8 flags.
 
     Semantics identical to ``device.madnz`` + ``device.threshold_sum``
     composed (reference madnz_t.mako:72-87 + threshold_sum.mako:49-132);
-    fold/bb/nref as in :func:`flag_transposed`.
+    fold/bb/nref as in :func:`flag_transposed`.  ``pipeline="dma"`` runs
+    the block loop inside ONE kernel invocation with double-buffered
+    manual DMA (see :func:`_dma_block_loop`) — one grid step total
+    instead of one per ``bb * nref`` baselines.
     """
     baselines, channels = dev_t.shape[0], dev_t.shape[1]
     if baselines % (bb * nref):
@@ -409,6 +420,36 @@ def madnz_threshold(dev_t, n_sigma: float = 11.0, n_windows: int = 4, falloff: f
         dev_t = jnp.pad(dev_t, ((0, 0), (0, padded_c - channels)))
     folded = dev_t.reshape(baselines * hh, fold)
     block_rows = bb * hh
+
+    if pipeline == "dma":
+        per_block = functools.partial(
+            _madnz_threshold_block, n_sigma=n_sigma, n_windows=n_windows,
+            falloff=falloff, flag_value=flag_value, channels=channels, h=hh,
+            interpret=interpret,
+        )
+
+        def kernel(dev_hbm, out_hbm):
+            _dma_block_loop(
+                dev_hbm, out_hbm, per_block,
+                n_blocks=baselines // bb,
+                in_block=((block_rows, fold), jnp.float32),
+                out_block=((block_rows, fold), jnp.uint8),
+            )
+
+        kwargs = {}
+        if not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)
+        out = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_shape=jax.ShapeDtypeStruct((baselines * hh, fold), jnp.uint8),
+            interpret=interpret,
+            **kwargs,
+        )(folded)
+        return out.reshape(baselines, padded_c)[:, :channels]
+
     grid_steps = baselines // (bb * nref)
     kernel = functools.partial(
         _madnz_threshold_kernel, nref=nref, n_sigma=n_sigma, n_windows=n_windows,
@@ -716,10 +757,33 @@ def _flagger_kernel_dma(*refs, n_blocks: int, block_rows: int, fold: int,
         vis_hbm, flags_hbm = refs
         cf_ref = None
 
+    def per_block(in_view, out_view):
+        _flagger_body(in_view, cf_ref, out_view, **algo_kw)
+
+    _dma_block_loop(
+        vis_hbm, flags_hbm, per_block,
+        n_blocks=n_blocks,
+        in_block=((block_rows, fold, 2), jnp.float32),
+        out_block=((block_rows, fold), jnp.uint8),
+    )
+
+
+def _dma_block_loop(in_hbm, out_hbm, per_block, *, n_blocks: int, in_block, out_block):
+    """Run ``per_block(in_view, out_view)`` over row-blocks of HBM arrays.
+
+    Double-buffered: two VMEM slots per side; block ``i+1``'s read DMA is
+    issued before block ``i`` computes, and a slot's output buffer is
+    reused only after its write DMA from two blocks back has landed.
+    ``in_block``/``out_block`` are ``(shape, dtype)`` per block; blocks
+    tile axis 0 of the HBM refs.
+    """
+    (in_shape, in_dtype), (out_shape, out_dtype) = in_block, out_block
+    rows_in, rows_out = in_shape[0], out_shape[0]
+
     def body(scratch_in, scratch_out, in_sems, out_sems):
         def in_dma(slot, idx):
             return pltpu.make_async_copy(
-                vis_hbm.at[pl.ds(idx * block_rows, block_rows)],
+                in_hbm.at[pl.ds(idx * rows_in, rows_in)],
                 scratch_in.at[slot],
                 in_sems.at[slot],
             )
@@ -727,7 +791,7 @@ def _flagger_kernel_dma(*refs, n_blocks: int, block_rows: int, fold: int,
         def out_dma(slot, idx):
             return pltpu.make_async_copy(
                 scratch_out.at[slot],
-                flags_hbm.at[pl.ds(idx * block_rows, block_rows)],
+                out_hbm.at[pl.ds(idx * rows_out, rows_out)],
                 out_sems.at[slot],
             )
 
@@ -743,13 +807,13 @@ def _flagger_kernel_dma(*refs, n_blocks: int, block_rows: int, fold: int,
 
             in_dma(cur, i).wait()
 
-            # The flags written from this slot two blocks ago must have
-            # landed before the slot's output buffer is overwritten.
+            # The output written from this slot two blocks ago must have
+            # landed before the slot's buffer is overwritten.
             @pl.when(i >= 2)
             def _():
                 out_dma(cur, i - 2).wait()
 
-            _flagger_body(scratch_in.at[cur], cf_ref, scratch_out.at[cur], **algo_kw)
+            per_block(scratch_in.at[cur], scratch_out.at[cur])
             out_dma(cur, i).start()
             return carry
 
@@ -762,8 +826,8 @@ def _flagger_kernel_dma(*refs, n_blocks: int, block_rows: int, fold: int,
 
     pl.run_scoped(
         body,
-        scratch_in=pltpu.VMEM((2, block_rows, fold, 2), jnp.float32),
-        scratch_out=pltpu.VMEM((2, block_rows, fold), jnp.uint8),
+        scratch_in=pltpu.VMEM((2,) + tuple(in_shape), in_dtype),
+        scratch_out=pltpu.VMEM((2,) + tuple(out_shape), out_dtype),
         in_sems=pltpu.SemaphoreType.DMA((2,)),
         out_sems=pltpu.SemaphoreType.DMA((2,)),
     )

@@ -229,3 +229,14 @@ class TestDmaPipeline:
         got = np.asarray(pallas_flagger.flag_transposed_dma(
             vt, bb=8, interpret=True, channel_flags=jnp.asarray(cf)))
         np.testing.assert_array_equal(ref, got)
+
+    def test_madnz_threshold_dma(self):
+        rs = np.random.RandomState(5)
+        dev = rs.standard_normal((16, 300)).astype(np.float32)
+        dev[:, 80] += 30.0
+        dt = jnp.asarray(dev)
+        ref = np.asarray(pallas_flagger.madnz_threshold(dt, bb=8, interpret=True))
+        got = np.asarray(pallas_flagger.madnz_threshold(
+            dt, bb=8, interpret=True, pipeline="dma"))
+        assert ref.any()
+        np.testing.assert_array_equal(ref, got)
