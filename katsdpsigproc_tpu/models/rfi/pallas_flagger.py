@@ -753,39 +753,60 @@ def _flagger_kernel_dma(*refs, n_blocks: int, block_rows: int, fold: int,
     flags_mode = algo_kw["flags_mode"]
     if flags_mode == "channel":
         vis_hbm, cf_ref, flags_hbm = refs
+        in2 = None
+    elif flags_mode == "full":
+        vis_hbm, if_hbm, flags_hbm = refs
+        cf_ref = None
+        in2 = (if_hbm, ((block_rows, fold), jnp.uint8))
     else:
         vis_hbm, flags_hbm = refs
         cf_ref = None
+        in2 = None
 
-    def per_block(in_view, out_view):
-        _flagger_body(in_view, cf_ref, out_view, **algo_kw)
+    if in2 is None:
+        def per_block(in_view, out_view):
+            _flagger_body(in_view, cf_ref, out_view, **algo_kw)
+    else:
+        def per_block(in_view, if_view, out_view):
+            _flagger_body(in_view, if_view, out_view, **algo_kw)
 
     _dma_block_loop(
         vis_hbm, flags_hbm, per_block,
         n_blocks=n_blocks,
         in_block=((block_rows, fold, 2), jnp.float32),
         out_block=((block_rows, fold), jnp.uint8),
+        in2=in2,
     )
 
 
-def _dma_block_loop(in_hbm, out_hbm, per_block, *, n_blocks: int, in_block, out_block):
-    """Run ``per_block(in_view, out_view)`` over row-blocks of HBM arrays.
+def _dma_block_loop(in_hbm, out_hbm, per_block, *, n_blocks: int, in_block, out_block,
+                    in2=None):
+    """Run ``per_block(in_view[, in2_view], out_view)`` over HBM row-blocks.
 
     Double-buffered: two VMEM slots per side; block ``i+1``'s read DMA is
     issued before block ``i`` computes, and a slot's output buffer is
     reused only after its write DMA from two blocks back has landed.
     ``in_block``/``out_block`` are ``(shape, dtype)`` per block; blocks
-    tile axis 0 of the HBM refs.
+    tile axis 0 of the HBM refs.  ``in2`` is an optional second input
+    stream as ``(hbm_ref, (shape, dtype))`` with the same blocking.
     """
     (in_shape, in_dtype), (out_shape, out_dtype) = in_block, out_block
     rows_in, rows_out = in_shape[0], out_shape[0]
+    in2_hbm, (in2_shape, in2_dtype) = in2 if in2 is not None else (None, ((), jnp.float32))
 
-    def body(scratch_in, scratch_out, in_sems, out_sems):
+    def body(scratch_in, scratch_out, in_sems, out_sems, scratch_in2=None, in2_sems=None):
         def in_dma(slot, idx):
             return pltpu.make_async_copy(
                 in_hbm.at[pl.ds(idx * rows_in, rows_in)],
                 scratch_in.at[slot],
                 in_sems.at[slot],
+            )
+
+        def in2_dma(slot, idx):
+            return pltpu.make_async_copy(
+                in2_hbm.at[pl.ds(idx * in2_shape[0], in2_shape[0])],
+                scratch_in2.at[slot],
+                in2_sems.at[slot],
             )
 
         def out_dma(slot, idx):
@@ -796,6 +817,8 @@ def _dma_block_loop(in_hbm, out_hbm, per_block, *, n_blocks: int, in_block, out_
             )
 
         in_dma(0, 0).start()
+        if in2 is not None:
+            in2_dma(0, 0).start()
 
         def loop(i, carry):
             cur = lax.rem(i, 2)
@@ -804,8 +827,12 @@ def _dma_block_loop(in_hbm, out_hbm, per_block, *, n_blocks: int, in_block, out_
             @pl.when(i + 1 < n_blocks)
             def _():
                 in_dma(nxt, i + 1).start()
+                if in2 is not None:
+                    in2_dma(nxt, i + 1).start()
 
             in_dma(cur, i).wait()
+            if in2 is not None:
+                in2_dma(cur, i).wait()
 
             # The output written from this slot two blocks ago must have
             # landed before the slot's buffer is overwritten.
@@ -813,7 +840,10 @@ def _dma_block_loop(in_hbm, out_hbm, per_block, *, n_blocks: int, in_block, out_
             def _():
                 out_dma(cur, i - 2).wait()
 
-            per_block(scratch_in.at[cur], scratch_out.at[cur])
+            if in2 is None:
+                per_block(scratch_in.at[cur], scratch_out.at[cur])
+            else:
+                per_block(scratch_in.at[cur], scratch_in2.at[cur], scratch_out.at[cur])
             out_dma(cur, i).start()
             return carry
 
@@ -824,16 +854,19 @@ def _dma_block_loop(in_hbm, out_hbm, per_block, *, n_blocks: int, in_block, out_
             out_dma((n_blocks - 2) % 2, n_blocks - 2).wait()
         out_dma((n_blocks - 1) % 2, n_blocks - 1).wait()
 
-    pl.run_scoped(
-        body,
+    scoped = dict(
         scratch_in=pltpu.VMEM((2,) + tuple(in_shape), in_dtype),
         scratch_out=pltpu.VMEM((2,) + tuple(out_shape), out_dtype),
         in_sems=pltpu.SemaphoreType.DMA((2,)),
         out_sems=pltpu.SemaphoreType.DMA((2,)),
     )
+    if in2 is not None:
+        scoped["scratch_in2"] = pltpu.VMEM((2,) + tuple(in2_shape), in2_dtype)
+        scoped["in2_sems"] = pltpu.SemaphoreType.DMA((2,))
+    pl.run_scoped(body, **scoped)
 
 
-def flag_transposed_dma(vis_t, width: int = 13, n_sigma: float = 11.0,
+def flag_transposed_dma(vis_t, input_flags=None, width: int = 13, n_sigma: float = 11.0,
                         n_windows: int = 4, falloff: float = 1.2, flag_value: int = 1,
                         bb: int = 1, fold: int = 1024, interpret: bool = False,
                         channel_flags=None):
@@ -842,10 +875,11 @@ def flag_transposed_dma(vis_t, width: int = 13, n_sigma: float = 11.0,
     Same semantics and band-folded layout; the block loop runs INSIDE one
     kernel invocation (see :func:`_flagger_kernel_dma`), so per-grid-step
     dispatch overhead is paid once per slab instead of once per block.
-    FULL-mode input flags are not supported on this engine (use the grid
-    engine); CHANNEL-mode flags ride a small VMEM input shared by every
-    block.
+    FULL-mode input flags ride a second double-buffered DMA stream;
+    CHANNEL-mode flags ride a small VMEM input shared by every block.
     """
+    if input_flags is not None and channel_flags is not None:
+        raise ValueError("pass either input_flags (FULL) or channel_flags (CHANNEL), not both")
     baselines, channels = vis_t.shape[0], vis_t.shape[1]
     if baselines % bb:
         raise ValueError(f"baselines ({baselines}) must divide by bb ({bb})")
@@ -861,14 +895,21 @@ def flag_transposed_dma(vis_t, width: int = 13, n_sigma: float = 11.0,
         vis_t = jnp.pad(vis_t, ((0, 0), (0, padded_c - channels), (0, 0)))
         if channel_flags is not None:
             channel_flags = jnp.pad(channel_flags, ((0, padded_c - channels),))
+        if input_flags is not None:
+            input_flags = jnp.pad(input_flags, ((0, 0), (0, padded_c - channels)))
     folded = vis_t.reshape(baselines * hh, fold, 2)
     block_rows = bb * hh
     n_blocks = baselines // bb
 
+    flags_mode = "none"
+    if input_flags is not None:
+        flags_mode = "full"
+    elif channel_flags is not None:
+        flags_mode = "channel"
     algo_kw = dict(
         width=width, n_sigma=n_sigma, n_windows=n_windows, falloff=falloff,
         flag_value=flag_value, channels=channels, h=hh,
-        flags_mode="channel" if channel_flags is not None else "none",
+        flags_mode=flags_mode,
         interpret=interpret,
     )
     kernel = functools.partial(
@@ -877,7 +918,10 @@ def flag_transposed_dma(vis_t, width: int = 13, n_sigma: float = 11.0,
     )
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
     operands = [folded]
-    if channel_flags is not None:
+    if input_flags is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        operands.append(input_flags.reshape(baselines * hh, fold))
+    elif channel_flags is not None:
         in_specs.append(pl.BlockSpec(memory_space=_VMEM))
         operands.append(channel_flags.reshape(hh, fold))
     kwargs = {}

@@ -240,3 +240,13 @@ class TestDmaPipeline:
             dt, bb=8, interpret=True, pipeline="dma"))
         assert ref.any()
         np.testing.assert_array_equal(ref, got)
+
+    def test_full_flags(self):
+        vt = self._vis()
+        rs = np.random.RandomState(9)
+        iff = (rs.rand(vt.shape[0], vt.shape[1]) < 0.05).astype(np.uint8)
+        ref = np.asarray(pallas_flagger.flag_transposed(
+            vt, jnp.asarray(iff), bb=8, interpret=True))
+        got = np.asarray(pallas_flagger.flag_transposed_dma(
+            vt, jnp.asarray(iff), bb=8, interpret=True))
+        np.testing.assert_array_equal(ref, got)
