@@ -96,6 +96,10 @@ class FftTemplate:
         self.N = N
         self.shape = tuple(shape)
         self.kind = kind
+        # Recorded for API parity (reference fft.py:262-266); under XLA the
+        # padded embedding is a layout concern the compiler owns.
+        self.padded_shape_src = None if padded_shape_src is None else tuple(padded_shape_src)
+        self.padded_shape_dest = None if padded_shape_dest is None else tuple(padded_shape_dest)
         self.dtype_src = dtype_src
         self.dtype_dest = dtype_dest
         if kind == "r2c":

@@ -79,3 +79,36 @@ class TestFft:
                 ctx, 1, (4, 16), np.complex64, np.complex64,
                 padded_shape_src=(5, 16), padded_shape_dest=(4, 16),
             )
+
+
+class TestFftPaddedEmbedding:
+    def test_padded_transform_axis_accepted(self, ctx):
+        """Padded embeddings on the transform axes are a layout concern under
+        XLA (reference fft.py:262-266 embeds via cufftMakePlanMany64); the
+        template records them and the op still transforms the logical
+        region exactly."""
+        shape = (4, 48)
+        rs = np.random.RandomState(3)
+        src = complex_normal(rs, size=shape).astype(np.complex64)
+        template = fft.FftTemplate(
+            ctx, 1, shape, np.complex64, np.complex64,
+            padded_shape_src=(4, 64), padded_shape_dest=(4, 56),
+        )
+        assert template.padded_shape_src == (4, 64)
+        assert template.padded_shape_dest == (4, 56)
+        op = template.instantiate(None, fft.FftMode.FORWARD)
+        out = np.asarray(op(src=jnp.asarray(src))["dest"])
+        np.testing.assert_allclose(out, np.fft.fft(src, axis=-1), rtol=1e-4, atol=1e-3)
+
+    def test_r2c_dest_padding(self, ctx):
+        shape = (4, 48)
+        rs = np.random.RandomState(4)
+        src = rs.standard_normal(shape).astype(np.float32)
+        template = fft.FftTemplate(
+            ctx, 1, shape, np.float32, np.complex64,
+            padded_shape_dest=(4, 32),
+        )
+        op = template.instantiate(None, fft.FftMode.FORWARD)
+        out = np.asarray(op(src=jnp.asarray(src))["dest"])
+        assert out.shape == (4, 25)  # logical (N//2 + 1), not the padded shape
+        np.testing.assert_allclose(out, np.fft.rfft(src, axis=-1), rtol=1e-4, atol=1e-3)
