@@ -508,26 +508,47 @@ class FusedFlaggerTemplate:
             tuning = self.autotune(context, width, n_windows)
         self.bb = tuning.get("bb", 4)
         self.nref = tuning.get("nref", 1)
+        self.pipeline = tuning.get("pipeline", "grid")
 
     @classmethod
-    @_tune.autotuner(test={"bb": 4, "nref": 1})
+    @_tune.autotuner(test={"bb": 4, "nref": 1, "pipeline": "grid"})
     def autotune(cls, context, width, n_windows):
         channels, baselines = 32768, 64
         rs = np.random.RandomState(seed=1)
         vis_t = jnp.asarray(rs.standard_normal((baselines, channels, 2)).astype(np.float32))
 
-        def generate(bb, nref):
+        def generate(bb, nref, pipeline):
+            if pipeline == "dma" and nref != 1:
+                raise ValueError("nref is a grid-pipeline knob")  # skipped config
             def call():
+                if pipeline == "dma":
+                    return flag_transposed_dma(
+                        vis_t, width=width, n_windows=n_windows, bb=bb
+                    )
                 return flag_transposed(
                     vis_t, width=width, n_windows=n_windows, bb=bb, nref=nref
                 )
 
             return _tune.make_measure(call)
 
-        return _tune.autotune(generate, bb=[1, 2, 4, 8], nref=[1, 2, 4])
+        return _tune.autotune(generate, bb=[1, 2, 4, 8], nref=[1, 2, 4],
+                              pipeline=["grid", "dma"])
 
     def __call__(self, vis_t, input_flags=None, n_sigma: float = 11.0, interpret: bool = False,
                  channel_flags=None):
+        if self.pipeline == "dma":
+            return flag_transposed_dma(
+                vis_t,
+                input_flags,
+                width=self.width,
+                n_sigma=n_sigma,
+                n_windows=self.n_windows,
+                falloff=self.threshold_falloff,
+                flag_value=self.flag_value,
+                bb=self.bb,
+                interpret=interpret,
+                channel_flags=channel_flags,
+            )
         return flag_transposed(
             vis_t,
             input_flags,
