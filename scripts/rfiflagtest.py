@@ -40,9 +40,12 @@ def benchmark1d(args, data):
     if args.width % 2 != 1:
         raise ValueError("Width must be odd")
     interpret = jax.devices()[0].platform == "cpu"
+    # Smallest bb that satisfies the sublane tiling (bb*H % 8 == 0) without
+    # exceeding the remote AOT compiler's ~64-sublane-row block ceiling:
+    # H = ceil(channels / 1024) bands per baseline.
+    hh = max(1, -(-args.channels // 1024))
+    bb = max(1, 8 // hh)
     if args.engine in ("pallas", "pallas_dma"):
-        # The fused single-kernel engines (baseline-major layout; bb=8
-        # satisfies the sublane-tiling constraint on small shapes).
         from katsdpsigproc_tpu.models.rfi import pallas_flagger
 
         def fn(vis):
@@ -50,14 +53,14 @@ def benchmark1d(args, data):
             if args.engine == "pallas_dma":
                 flags_t = pallas_flagger.flag_transposed_dma(
                     vis_t, width=args.width, n_sigma=args.sigmas,
-                    bb=8, interpret=interpret)
+                    bb=bb, interpret=interpret)
             else:
                 flags_t = pallas_flagger.flag_dump(
                     vis_t, width=args.width, n_sigma=args.sigmas,
-                    bb=8, interpret=interpret)
+                    bb=bb, interpret=interpret)
             return jnp.swapaxes(flags_t, 0, 1)
     else:
-        pallas_kw = dict(bb=8, interpret=interpret) if args.engine == "hybrid" else None
+        pallas_kw = dict(bb=bb, interpret=interpret) if args.engine == "hybrid" else None
         fn = rfi_device.make_flagger_fn(args.width, args.sigmas, threshold="sum",
                                         engine=args.engine, pallas_kw=pallas_kw)
     # Planar split-complex layout: TPU backends have no complex dtype
