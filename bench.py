@@ -347,11 +347,17 @@ def main():
             args.width, 11.0, threshold="sum", engine="hybrid",
             pallas_kw=dict(bb=min(8, sub_t.shape[0]), interpret=interpret),
         )
+        hybrid_dma_parity_fn = rfi_device.make_flagger_fn(
+            args.width, 11.0, threshold="sum", engine="hybrid",
+            pallas_kw=dict(bb=min(8, sub_t.shape[0]), interpret=interpret,
+                           pipeline="dma"),
+        )
         for name, got in [
             ("xla", np.asarray(xla_parity_fn(jnp.asarray(planar)))),
             ("pallas", np.asarray(pallas_parity).T),
             ("pallas_dma", np.asarray(pallas_dma_parity).T),
             ("hybrid", np.asarray(hybrid_parity_fn(jnp.asarray(planar)))),
+            ("hybrid_dma", np.asarray(hybrid_dma_parity_fn(jnp.asarray(planar)))),
         ]:
             mismatches = int((got != expected).sum())
             log(f"parity[{name}]: {mismatches} mismatching flags of {expected.size}")

@@ -76,6 +76,25 @@ _INF = np.float32(np.inf)  # python scalars: kernel literals, not captured const
 _NAN = np.float32(np.nan)
 
 
+def _fold_setup(channels: int, bb: int, fold: int, baselines: int, nref: int = 1):
+    """Shared band-fold derivation and tiling validation.
+
+    The one place the fold/tiling rules live (flag_transposed,
+    madnz_threshold, and flag_transposed_dma all fold identically; a rule
+    change must not let the engines drift).  Returns (fold, hh, padded_c).
+    """
+    if baselines % (bb * nref):
+        raise ValueError(f"baselines ({baselines}) must divide by bb*nref ({bb}*{nref})")
+    fold = min(fold, max(128, -(-channels // 128) * 128)) if channels > 128 else channels
+    hh = -(-channels // fold)
+    if (bb * hh) % 8 and bb != baselines:
+        raise ValueError(
+            f"block rows bb*H = {bb}*{hh} must be a multiple of 8 (TPU sublane "
+            f"tiling) — raise bb or lower fold"
+        )
+    return fold, hh, hh * fold
+
+
 def _roll(x, shift: int, axis: int, interpret: bool):
     """Static roll: pltpu.roll on hardware, jnp.roll in interpret mode."""
     if shift % x.shape[axis] == 0:
@@ -406,22 +425,15 @@ def madnz_threshold(dev_t, n_sigma: float = 11.0, n_windows: int = 4, falloff: f
     instead of one per ``bb * nref`` baselines.
     """
     baselines, channels = dev_t.shape[0], dev_t.shape[1]
-    if baselines % (bb * nref):
-        raise ValueError(f"baselines ({baselines}) must divide by bb*nref ({bb}*{nref})")
-    fold = min(fold, max(128, -(-channels // 128) * 128)) if channels > 128 else channels
-    hh = -(-channels // fold)
-    if (bb * hh) % 8 and bb != baselines:
-        raise ValueError(
-            f"block rows bb*H = {bb}*{hh} must be a multiple of 8 (TPU sublane "
-            f"tiling) — raise bb or lower fold"
-        )
-    padded_c = hh * fold
+    fold, hh, padded_c = _fold_setup(channels, bb, fold, baselines, nref)
     if padded_c != channels:
         dev_t = jnp.pad(dev_t, ((0, 0), (0, padded_c - channels)))
     folded = dev_t.reshape(baselines * hh, fold)
     block_rows = bb * hh
 
     if pipeline == "dma":
+        if pltpu is None:
+            raise RuntimeError("pipeline='dma' needs jax.experimental.pallas.tpu")
         per_block = functools.partial(
             _madnz_threshold_block, n_sigma=n_sigma, n_windows=n_windows,
             falloff=falloff, flag_value=flag_value, channels=channels, h=hh,
@@ -495,7 +507,7 @@ class FusedFlaggerTemplate:
     ``wgs``/``csplit`` searches.
     """
 
-    autotune_version = 4
+    autotune_version = 5  # v5: the `pipeline` dimension joined the search
 
     def __init__(self, context, width: int = 13, n_windows: int = 4,
                  threshold_falloff: float = 1.2, flag_value: int = 1, tuning=None):
@@ -519,7 +531,7 @@ class FusedFlaggerTemplate:
 
         def generate(bb, nref, pipeline):
             if pipeline == "dma" and nref != 1:
-                raise ValueError("nref is a grid-pipeline knob")  # skipped config
+                raise ValueError("config skipped: nref>1 applies only to pipeline='grid'")
             def call():
                 if pipeline == "dma":
                     return flag_transposed_dma(
@@ -653,16 +665,7 @@ def flag_transposed(vis_t, input_flags=None, width: int = 13, n_sigma: float = 1
     if input_flags is not None and channel_flags is not None:
         raise ValueError("pass either input_flags (FULL) or channel_flags (CHANNEL), not both")
     baselines, channels = vis_t.shape[0], vis_t.shape[1]
-    if baselines % (bb * nref):
-        raise ValueError(f"baselines ({baselines}) must divide by bb*nref ({bb}*{nref})")
-    fold = min(fold, max(128, -(-channels // 128) * 128)) if channels > 128 else channels
-    hh = -(-channels // fold)
-    if (bb * hh) % 8 and bb != baselines:
-        raise ValueError(
-            f"block rows bb*H = {bb}*{hh} must be a multiple of 8 (TPU sublane "
-            f"tiling) — raise bb or lower fold"
-        )
-    padded_c = hh * fold
+    fold, hh, padded_c = _fold_setup(channels, bb, fold, baselines, nref)
     if padded_c != channels:
         vis_t = jnp.pad(vis_t, ((0, 0), (0, padded_c - channels), (0, 0)))
         if input_flags is not None:
@@ -887,6 +890,11 @@ def _dma_block_loop(in_hbm, out_hbm, per_block, *, n_blocks: int, in_block, out_
     pl.run_scoped(body, **scoped)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "n_sigma", "n_windows", "falloff", "flag_value", "bb",
+                     "fold", "interpret"),
+)
 def flag_transposed_dma(vis_t, input_flags=None, width: int = 13, n_sigma: float = 11.0,
                         n_windows: int = 4, falloff: float = 1.2, flag_value: int = 1,
                         bb: int = 1, fold: int = 1024, interpret: bool = False,
@@ -902,16 +910,9 @@ def flag_transposed_dma(vis_t, input_flags=None, width: int = 13, n_sigma: float
     if input_flags is not None and channel_flags is not None:
         raise ValueError("pass either input_flags (FULL) or channel_flags (CHANNEL), not both")
     baselines, channels = vis_t.shape[0], vis_t.shape[1]
-    if baselines % bb:
-        raise ValueError(f"baselines ({baselines}) must divide by bb ({bb})")
-    fold = min(fold, max(128, -(-channels // 128) * 128)) if channels > 128 else channels
-    hh = -(-channels // fold)
-    if (bb * hh) % 8 and bb != baselines:
-        raise ValueError(
-            f"block rows bb*H = {bb}*{hh} must be a multiple of 8 (TPU sublane "
-            f"tiling) — raise bb or lower fold"
-        )
-    padded_c = hh * fold
+    if pltpu is None:
+        raise RuntimeError("flag_transposed_dma needs jax.experimental.pallas.tpu")
+    fold, hh, padded_c = _fold_setup(channels, bb, fold, baselines)
     if padded_c != channels:
         vis_t = jnp.pad(vis_t, ((0, 0), (0, padded_c - channels), (0, 0)))
         if channel_flags is not None:

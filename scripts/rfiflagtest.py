@@ -42,9 +42,10 @@ def benchmark1d(args, data):
     interpret = jax.devices()[0].platform == "cpu"
     # Smallest bb that satisfies the sublane tiling (bb*H % 8 == 0) without
     # exceeding the remote AOT compiler's ~64-sublane-row block ceiling:
-    # H = ceil(channels / 1024) bands per baseline.
+    # H = ceil(channels / 1024) bands per baseline; bb = 8 / gcd(H, 8).
+    import math
     hh = max(1, -(-args.channels // 1024))
-    bb = max(1, 8 // hh)
+    bb = 8 // math.gcd(hh, 8)
     if args.engine in ("pallas", "pallas_dma"):
         from katsdpsigproc_tpu.models.rfi import pallas_flagger
 
@@ -114,7 +115,7 @@ def main():
     parser.add_argument("--sigmas", type=float, default=11.0)
     parser.add_argument("--engine", choices=["xla", "hybrid", "pallas", "pallas_dma"],
                         default="xla",
-                        help="1-D flagger engine (bench.py times all three)")
+                        help="1-D flagger engine (bench.py times five variants)")
     parser.add_argument("--skip-host", action="store_true")
     args = parser.parse_args()
 

@@ -135,7 +135,6 @@ def test_fuzz_vs_numpy_semantics():
         sel = []
         src_region = random_region(src_shape, sel)
         # destination: same selection shape, fresh layout
-        extra = int(rs.randint(0, 2))
         dest_shape = tuple(s + int(rs.randint(0, 3)) for s in sel) or (1,)
         dest_region = tuple(slice(0, s) for s in sel) or (slice(0, 1),)
         if not sel:
