@@ -250,3 +250,15 @@ class TestDmaPipeline:
         got = np.asarray(pallas_flagger.flag_transposed_dma(
             vt, jnp.asarray(iff), bb=8, interpret=True))
         np.testing.assert_array_equal(ref, got)
+
+
+def test_fold_setup_contract():
+    """The shared fold/tiling derivation all three engines use."""
+    # 32k channels: fold 1024, 32 bands, bb=1 tiles (32 rows % 8 == 0).
+    assert pallas_flagger._fold_setup(32768, 1, 1024, 252) == (1024, 32, 32768)
+    # Small channel counts round the fold up to a lane multiple.
+    assert pallas_flagger._fold_setup(300, 8, 1024, 16) == (384, 1, 384)
+    with pytest.raises(ValueError):  # sublane violation: bb*H = 2*3 = 6
+        pallas_flagger._fold_setup(2100, 2, 1024, 64)
+    with pytest.raises(ValueError):  # baselines not divisible by bb*nref
+        pallas_flagger._fold_setup(1024, 8, 1024, 12, nref=2)
