@@ -150,3 +150,30 @@ def test_adapt_value():
     assert tune.adapt_value(int) == repr(int)
     assert tune.adapt_value(Color.RED) == "RED"
     assert tune.adapt_value(42) == 42
+
+
+def test_shipped_table_covers_every_template(monkeypatch):
+    """Instantiating any template must resolve from the shipped table —
+    a missing record silently falls through to a LIVE measured search
+    (regression: the FusedFlaggerTemplate v5 record was briefly absent
+    and every instantiation re-tuned)."""
+    from katsdpsigproc_tpu.models.rfi import pallas_flagger
+    from katsdpsigproc_tpu.ops import maskedsum, percentile, transpose
+    from katsdpsigproc_tpu.utils import backend, tune
+
+    def strict_impl(test, fn, *args, **kwargs):
+        cls = args[0] if args else None
+        keys = tune._keys(fn, args, kwargs)
+        keys["version"] = getattr(cls, "autotune_version", 0)
+        keys.update(tune._device_columns())
+        cached = tune._fetch(keys)
+        assert cached is not None, f"no shipped tuning record for {keys}"
+        return cached
+
+    monkeypatch.setattr(tune, "autotuner_impl", strict_impl)
+    ctx = backend.create_some_context()
+    transpose.TransposeTemplate(ctx, "float32")
+    transpose.TransposeTemplate(ctx, "complex64")
+    percentile.Percentile5Template(ctx, 5000, True)
+    maskedsum.MaskedSumTemplate(ctx)
+    pallas_flagger.FusedFlaggerTemplate(ctx)
