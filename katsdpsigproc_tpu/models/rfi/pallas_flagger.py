@@ -579,12 +579,12 @@ class FusedFlaggerTemplate:
 @functools.partial(
     jax.jit,
     static_argnames=("slab", "width", "n_sigma", "n_windows", "falloff", "flag_value", "bb",
-                     "fold", "interpret", "nref"),
+                     "fold", "interpret", "nref", "pipeline"),
 )
 def flag_dump(vis_t, input_flags=None, slab: int = 252, width: int = 13,
               n_sigma: float = 11.0, n_windows: int = 4, falloff: float = 1.2,
               flag_value: int = 1, bb: int = 1, fold: int = 1024, interpret: bool = False,
-              channel_flags=None, nref: int = 1):
+              channel_flags=None, nref: int = 1, pipeline: str = "grid"):
     """Flag a large dump by slabs of baselines, as ONE program.
 
     The remote Mosaic AOT service fails on very large grid/buffer sizes
@@ -598,10 +598,14 @@ def flag_dump(vis_t, input_flags=None, slab: int = 252, width: int = 13,
     """
     kwargs = dict(width=width, n_sigma=n_sigma, n_windows=n_windows, falloff=falloff,
                   flag_value=flag_value, bb=bb, fold=fold, interpret=interpret,
-                  channel_flags=channel_flags, nref=nref)
+                  channel_flags=channel_flags)
+    if pipeline == "dma":
+        slab_fn = flag_transposed_dma  # one grid step per slab
+    else:
+        slab_fn = functools.partial(flag_transposed, nref=nref)
     baselines, channels = vis_t.shape[0], vis_t.shape[1]
     if baselines <= slab:
-        return flag_transposed(vis_t, input_flags, **kwargs)
+        return slab_fn(vis_t, input_flags, **kwargs)
     n_full = baselines // slab
     main = vis_t[: n_full * slab].reshape(n_full, slab, channels, 2)
     xs = (main,)
@@ -610,14 +614,14 @@ def flag_dump(vis_t, input_flags=None, slab: int = 252, width: int = 13,
 
     def body(_, x):
         if input_flags is not None:
-            return None, flag_transposed(x[0], x[1], **kwargs)
-        return None, flag_transposed(x[0], **kwargs)
+            return None, slab_fn(x[0], x[1], **kwargs)
+        return None, slab_fn(x[0], **kwargs)
 
     _, out = lax.scan(body, None, xs)
     out = out.reshape(n_full * slab, channels)
     if n_full * slab < baselines:
         tail_flags = None if input_flags is None else input_flags[n_full * slab :]
-        tail = flag_transposed(vis_t[n_full * slab :], tail_flags, **kwargs)
+        tail = slab_fn(vis_t[n_full * slab :], tail_flags, **kwargs)
         out = jnp.concatenate([out, tail], axis=0)
     return out
 

@@ -262,3 +262,16 @@ def test_fold_setup_contract():
         pallas_flagger._fold_setup(2100, 2, 1024, 64)
     with pytest.raises(ValueError):  # baselines not divisible by bb*nref
         pallas_flagger._fold_setup(1024, 8, 1024, 12, nref=2)
+
+
+def test_flag_dump_dma_pipeline_slabs():
+    """flag_dump(pipeline='dma') over multiple slabs matches the grid path."""
+    rs = np.random.RandomState(6)
+    vis = rs.standard_normal((24, 300, 2)).astype(np.float32)
+    vis[:, 77, :] *= 40.0
+    vt = jnp.asarray(vis)
+    ref = np.asarray(pallas_flagger.flag_dump(vt, slab=8, bb=8, interpret=True))
+    got = np.asarray(pallas_flagger.flag_dump(vt, slab=8, bb=8, interpret=True,
+                                              pipeline="dma"))
+    assert ref.any()
+    np.testing.assert_array_equal(ref, got)
