@@ -160,7 +160,8 @@ def to_planar(vis):
     return jnp.stack([vis.real.astype(jnp.float32), vis.imag.astype(jnp.float32)], axis=-1)
 
 
-def background_median_filter(vis, flags, width: int, is_amplitude: bool, use_flags: BackgroundFlags):
+def background_median_filter(vis, flags, width: int, is_amplitude: bool,
+                             use_flags: BackgroundFlags, engine: str = "network"):
     """Deviations from a windowed-median background (channels, baselines).
 
     Semantics follow the reference kernel (background_median_filter.mako):
@@ -168,6 +169,9 @@ def background_median_filter(vis, flags, width: int, is_amplitude: bool, use_fla
     from the median and map to 0 in the output; the output elsewhere is
     ``amp - median(valid window)``.  Complex visibilities may be passed as
     complex64 or in the planar (channels, baselines, 2) float32 layout.
+    `engine` selects the windowed-median engine (see
+    :func:`masked_median_filter`) — the tuning dimension of
+    :class:`BackgroundMedianFilterDeviceTemplate`.
     """
     if is_amplitude:
         amp = vis.astype(jnp.float32)
@@ -180,24 +184,27 @@ def background_median_filter(vis, flags, width: int, is_amplitude: bool, use_fla
     elif use_flags == BackgroundFlags.FULL:
         invalid = invalid | (flags != 0)
     amp = jnp.where(invalid, jnp.nan, amp)
-    med, _ = masked_median_filter(amp, width)
+    med, _ = masked_median_filter(amp, width, engine)
     deviations = amp - med
     return jnp.where(jnp.isnan(deviations), 0.0, deviations).astype(jnp.float32)
 
 
-def madnz(deviations_t, n_channels: Optional[int] = None, axis: int = -1):
+def madnz(deviations_t, n_channels: Optional[int] = None, axis: int = -1,
+          radix_bits: int = 4):
     """MAD noise per baseline from deviations, channels along `axis`.
 
     ``MAD_NORMAL * median(nonzero |deviations|)`` with the reference's exact
     rank arithmetic (rank.mako:253-267).  ``axis=-1`` expects the transposed
     (baselines, channels) layout (madnz_t.mako:72-87); ``axis=0`` is the
     straight (channels, baselines) layout (madnz.mako:105-123) — no corner
-    turn needed.
+    turn needed.  `radix_bits` is the rank-search digit width
+    (:func:`katsdpsigproc_tpu.ops.rank.find_rank_float`) — the tuning
+    dimension of the noise-estimate templates; every value gives the
+    bit-identical exact median.
     """
     values = jnp.abs(deviations_t).astype(jnp.float32)
-    return (MAD_NORMAL * rank_ops.median_non_zero(values, n_channels, axis=axis)).astype(
-        jnp.float32
-    )
+    med = rank_ops.median_non_zero(values, n_channels, axis=axis, radix_bits=radix_bits)
+    return (MAD_NORMAL * med).astype(jnp.float32)
 
 
 def threshold_simple(deviations, noise, n_sigma: float, flag_value: int = 1, transposed=False):
@@ -510,9 +517,11 @@ class AbstractThresholdDeviceTemplate:
 class BackgroundMedianFilterDeviceTemplate(AbstractBackgroundDeviceTemplate):
     """Device backgrounder: windowed-median filter per baseline (by amplitude).
 
-    Reference: rfi/device.py:141-263.  Tuning knobs are the Pallas block
-    sides used by the fused flagger kernel (the reference tunes
-    ``wgs``/``csplit``, rfi/device.py:211-252).
+    Reference: rfi/device.py:141-263.  The tuning knob is the windowed-
+    median ``engine`` — selection ``"network"`` vs compare-``"count"``
+    (see :func:`masked_median_filter`); the reference tunes
+    ``wgs``/``csplit`` (rfi/device.py:211-252), work-group knobs with no
+    XLA analogue.
 
     Parameters
     ----------
@@ -527,7 +536,7 @@ class BackgroundMedianFilterDeviceTemplate(AbstractBackgroundDeviceTemplate):
     """
 
     host_class = host.BackgroundMedianFilterHost
-    autotune_version = 4
+    autotune_version = 5
 
     def __init__(self, context, width: int, is_amplitude: bool = False,
                  use_flags: Union[BackgroundFlags, bool] = BackgroundFlags.NONE, tuning=None):
@@ -542,14 +551,27 @@ class BackgroundMedianFilterDeviceTemplate(AbstractBackgroundDeviceTemplate):
             raise TypeError("use_flags must be an instance of BackgroundFlags or bool")
         self.use_flags = use_flags
         if tuning is None:
-            tuning = self.autotune(context, width, is_amplitude, use_flags.name)
-        self.bc = tuning.get("bc", 512)
-        self.bb = tuning.get("bb", 128)
+            tuning = self.autotune(context, width)
+        self.engine = tuning.get("engine", "network")
 
     @classmethod
-    @tune.autotuner(test={"bc": 512, "bb": 128})
-    def autotune(cls, context, width, is_amplitude, use_flags) -> Mapping[str, Any]:
-        return {"bc": 512, "bb": 128}
+    @tune.autotuner(test={"engine": "network"})
+    def autotune(cls, context, width) -> Mapping[str, Any]:
+        # Measured engine search (both engines are mask-exact; see the
+        # masked_median_filter docstring for the measured v5e tradeoff).
+        import functools
+
+        import jax
+
+        rs = np.random.RandomState(2021)
+        amp = jnp.asarray(np.abs(rs.standard_normal((4096, 512))).astype(np.float32))
+
+        def generate(engine):
+            fn = jax.jit(functools.partial(masked_median_filter, width=width, engine=engine))
+            jax.block_until_ready(fn(amp))  # fail now if the engine can't compile
+            return tune.make_measure(lambda: fn(amp))
+
+        return tune.autotune(generate, engine=["network", "count"])
 
     def instantiate(self, command_queue=None, channels=0, baselines=0, allocator=None):
         return BackgroundMedianFilterDevice(self, channels, baselines)
@@ -581,7 +603,8 @@ class BackgroundMedianFilterDevice(AbstractBackgroundDevice):
 
     def _run(self, vis, flags=None):
         deviations = background_median_filter(
-            vis, flags, self.template.width, self.template.is_amplitude, self.template.use_flags
+            vis, flags, self.template.width, self.template.is_amplitude,
+            self.template.use_flags, self.template.engine,
         )
         return {"deviations": deviations}
 
@@ -600,24 +623,26 @@ class NoiseEstMADTDeviceTemplate(AbstractNoiseEstDeviceTemplate):
     The reference's transposed variant holds a whole baseline per workgroup
     (madnz_t.mako); on TPU each baseline is a vector-lane row and the rank
     search vectorizes across baselines, so `max_channels` is only a VMEM
-    budget hint for the fused Pallas path.
+    budget hint for the fused Pallas path.  The tuning knob is the rank
+    search's ``radix_bits`` digit width (bits resolved per data sweep —
+    every value is exact; see :func:`..ops.rank.find_rank_float`).
     """
 
     host_class = host.NoiseEstMADHost
     transposed = True
-    autotune_version = 2
+    autotune_version = 3
 
     def __init__(self, context, max_channels: int = 32768, tuning=None):
         self.context = context
         self.max_channels = max_channels
         if tuning is None:
             tuning = self.autotune(context, max_channels)
-        self.bb = tuning.get("bb", 8)
+        self.radix_bits = tuning.get("radix_bits", 4)
 
     @classmethod
-    @tune.autotuner(test={"bb": 8})
+    @tune.autotuner(test={"radix_bits": 4})
     def autotune(cls, context, max_channels) -> Mapping[str, Any]:
-        return {"bb": 8}
+        return _madnz_radix_search(axis=-1, channels=min(max_channels, 8192))
 
     def instantiate(self, command_queue=None, channels=0, baselines=0, allocator=None):
         if channels > self.max_channels:
@@ -643,34 +668,52 @@ class NoiseEstMADTDevice(AbstractNoiseEstDevice):
         self.slots["noise"] = base.Slot((baselines,), jnp.float32, base.Direction.OUT)
 
     def _run(self, deviations):
-        return {"noise": madnz(deviations)}
+        return {"noise": madnz(deviations, radix_bits=self.template.radix_bits)}
 
     def parameters(self) -> Mapping[str, Any]:
         return {"channels": self.channels, "baselines": self.baselines, "transposed": True}
+
+
+def _madnz_radix_search(axis: int, channels: int, baselines: int = 128) -> Mapping[str, Any]:
+    """Measured ``radix_bits`` search shared by the noise-estimate templates."""
+    import functools
+
+    import jax
+
+    rs = np.random.RandomState(2021)
+    shape = (baselines, channels) if axis == -1 else (channels, baselines)
+    dev = jnp.asarray(np.abs(rs.standard_normal(shape)).astype(np.float32))
+
+    def generate(radix_bits):
+        fn = jax.jit(functools.partial(madnz, axis=axis, radix_bits=radix_bits))
+        jax.block_until_ready(fn(dev))
+        return tune.make_measure(lambda: fn(dev))
+
+    return tune.autotune(generate, radix_bits=[1, 2, 4, 8])
 
 
 class NoiseEstMADDeviceTemplate(AbstractNoiseEstDeviceTemplate):
     """Straight-layout MAD noise estimator (reference rfi/device.py:363-470).
 
     Same arithmetic as the transposed variant; XLA folds the axis swap into
-    the rank reductions, so no physical corner-turn happens.
+    the rank reductions, so no physical corner-turn happens.  Tuning knob:
+    ``radix_bits`` (see :class:`NoiseEstMADTDeviceTemplate`).
     """
 
     host_class = host.NoiseEstMADHost
     transposed = False
-    autotune_version = 2
+    autotune_version = 3
 
     def __init__(self, context, tuning=None):
         self.context = context
         if tuning is None:
             tuning = self.autotune(context)
-        self.wgsx = tuning.get("wgsx", 8)
-        self.wgsy = tuning.get("wgsy", 8)
+        self.radix_bits = tuning.get("radix_bits", 4)
 
     @classmethod
-    @tune.autotuner(test={"wgsx": 8, "wgsy": 8})
+    @tune.autotuner(test={"radix_bits": 4})
     def autotune(cls, context) -> Mapping[str, Any]:
-        return {"wgsx": 8, "wgsy": 8}
+        return _madnz_radix_search(axis=0, channels=8192)
 
     def instantiate(self, command_queue=None, channels=0, baselines=0, allocator=None):
         return NoiseEstMADDevice(self, channels, baselines)
@@ -694,14 +737,20 @@ class NoiseEstMADDevice(AbstractNoiseEstDevice):
         self.slots["noise"] = base.Slot((baselines,), jnp.float32, base.Direction.OUT)
 
     def _run(self, deviations):
-        return {"noise": madnz(jnp.swapaxes(deviations, 0, 1))}
+        return {"noise": madnz(deviations, axis=0, radix_bits=self.template.radix_bits)}
 
     def parameters(self) -> Mapping[str, Any]:
         return {"channels": self.channels, "baselines": self.baselines, "transposed": False}
 
 
 class ThresholdSimpleDeviceTemplate(AbstractThresholdDeviceTemplate):
-    """Elementwise threshold (reference rfi/device.py:654-809)."""
+    """Elementwise threshold (reference rfi/device.py:654-809).
+
+    One fused VPU compare — no searchable dimension exists (the reference
+    tunes work-group sides, rfi/device.py:700-720), so this template has
+    no autotune and ``tuning`` is accepted for signature parity and
+    ignored.
+    """
 
     host_class = host.ThresholdSimpleHost
 
@@ -709,15 +758,6 @@ class ThresholdSimpleDeviceTemplate(AbstractThresholdDeviceTemplate):
         self.context = context
         self.transposed = transposed
         self.flag_value = flag_value
-        if tuning is None:
-            tuning = self.autotune(context, transposed)
-        self.wgsx = tuning.get("wgsx", 8)
-        self.wgsy = tuning.get("wgsy", 8)
-
-    @classmethod
-    @tune.autotuner(test={"wgsx": 8, "wgsy": 8})
-    def autotune(cls, context, transposed) -> Mapping[str, Any]:
-        return {"wgsx": 8, "wgsy": 8}
 
     def instantiate(self, command_queue=None, channels=0, baselines=0, n_sigma=11.0, *, allocator=None):
         return ThresholdSimpleDevice(self, channels, baselines, n_sigma)
@@ -767,11 +807,15 @@ class ThresholdSumDeviceTemplate(AbstractThresholdDeviceTemplate):
     threshold_falloff
         ρ in Offringa (2010); per-window thresholds are
         ``n_sigma * rho**-i`` (reference rfi/device.py:957-959).
+    tuning
+        Accepted for signature parity and ignored: the shifted-add window
+        sums are pinned by oracle float parity (cumsum differences
+        reassociate), and the reference's ``wgs``/``vt`` knobs
+        (rfi/device.py:867-887) have no XLA analogue.
     """
 
     host_class = host.ThresholdSumHost
     transposed = True
-    autotune_version = 2
 
     def __init__(self, context, n_windows: int = 4, threshold_falloff: float = 1.2,
                  flag_value: int = 1, tuning=None):
@@ -779,14 +823,6 @@ class ThresholdSumDeviceTemplate(AbstractThresholdDeviceTemplate):
         self.n_windows = n_windows
         self.threshold_falloff = threshold_falloff
         self.flag_value = flag_value
-        if tuning is None:
-            tuning = self.autotune(context, n_windows)
-        self.bb = tuning.get("bb", 8)
-
-    @classmethod
-    @tune.autotuner(test={"bb": 8})
-    def autotune(cls, context, n_windows) -> Mapping[str, Any]:
-        return {"bb": 8}
 
     def instantiate(self, command_queue=None, channels=0, baselines=0, n_sigma=11.0, *, allocator=None):
         return ThresholdSumDevice(self, channels, baselines, n_sigma)

@@ -2,18 +2,18 @@
 
 Reference: src/katsdpsigproc/fill.py:30-148 (FillTemplate/Fill) and
 fill.mako:26-32.  On TPU a fill is a single XLA broadcast — there is no
-tuning dimension worth searching (the reference tunes a work-group size,
-fill.py:70-82), so the template keeps the knob for API compatibility but the
-kernel is `jnp.full`.  Padding is filled too, as in the reference ("The pad
-elements are also filled with this value"): the op produces its slot's
-*padded* shape internally and crops, which XLA folds away.
+tuning dimension at all (the reference tunes a work-group size,
+fill.py:70-82, a knob that does not exist under XLA), so this template has
+**no autotune**: the ``tuning`` argument is accepted for signature parity
+and ignored.  Padding is filled too, as in the reference ("The pad elements
+are also filled with this value"): the op produces its slot's *padded*
+shape internally and crops, which XLA folds away.
 """
 
 from typing import Any, Mapping, Optional, Sequence
 
 import jax.numpy as jnp
 
-from ..utils import tune
 from . import base
 
 
@@ -29,24 +29,15 @@ class FillTemplate:
     ctype
         Ignored (C type name in the reference; meaningless under XLA)
     tuning
-        Ignored knob dict (reference tunes ``wgs``)
+        Accepted for signature parity and ignored — a single XLA
+        broadcast has no searchable dimension (the reference's ``wgs``,
+        fill.py:70-82, has no analogue)
     """
-
-    autotune_version = 0
 
     def __init__(self, context, dtype, ctype: Optional[str] = None, tuning=None) -> None:
         self.context = context
         self.dtype = jnp.dtype(dtype)
         self.ctype = ctype
-        if tuning is None:
-            tuning = self.autotune(context, str(self.dtype))
-        self.wgs = tuning.get("wgs", 128)
-
-    @classmethod
-    @tune.autotuner(test={"wgs": 128})
-    def autotune(cls, context, dtype) -> Mapping[str, Any]:
-        # Nothing to search: XLA emits the optimal broadcast.
-        return {"wgs": 128}
 
     def instantiate(self, command_queue=None, shape: Sequence[int] = (), allocator=None) -> "Fill":
         return Fill(self, shape)

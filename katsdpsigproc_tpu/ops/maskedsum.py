@@ -9,15 +9,16 @@ reference's per-column FMA loop it is expressed as ``mask @ src`` and runs
 on the MXU — the single highest-throughput unit on the chip.  Complex data
 decomposes into two real matvecs (XLA does this automatically for
 complex64 dot); the amplitude variant is |src| (VPU, fused into the HBM
-read) followed by the same matvec.  No tuning dimension survives: MXU
-matmul tiling is XLA's job.
+read) followed by the same matvec.  No tuning dimension survives — MXU
+matmul tiling is XLA's job — so this template has **no autotune** (the
+reference tunes a work-group ``size``, maskedsum.py:63-87) and ``tuning``
+is accepted for signature parity and ignored.
 """
 
 from typing import Any, Mapping, Tuple
 
 import jax.numpy as jnp
 
-from ..utils import tune
 from . import base
 
 
@@ -32,24 +33,12 @@ class MaskedSumTemplate:
         If true, the amplitudes of the inputs rather than the inputs
         themselves will be summed.
     tuning
-        Ignored knob dict (the reference tunes a work-group ``size``,
-        maskedsum.py:63-87).
+        Accepted for signature parity and ignored (no search dimension).
     """
-
-    autotune_version = 2
 
     def __init__(self, context, use_amplitudes: bool = False, tuning=None) -> None:
         self.context = context
         self.use_amplitudes = use_amplitudes
-        if tuning is None:
-            tuning = self.autotune(context, use_amplitudes)
-        self.size = tuning.get("size", 256)
-
-    @classmethod
-    @tune.autotuner(test={"size": 256})
-    def autotune(cls, context, use_amplitudes) -> Mapping[str, Any]:
-        # The MXU formulation has no search dimension.
-        return {"size": 256}
 
     def instantiate(self, command_queue=None, shape: Tuple[int, int] = (0, 0), allocator=None):
         return MaskedSum(self, shape)

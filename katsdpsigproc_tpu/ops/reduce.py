@@ -7,8 +7,10 @@ column range with a caller-supplied C expression and identity.
 TPU-native design: the operator is a JAX binary callable (or a named
 operator from :mod:`.wgreduce`) instead of a C snippet; the reduction is a
 single XLA ``reduce`` over the row axis, which the compiler tiles and
-vectorizes (the reference's wgsx/wgsy work-group search has no analogue
-worth keeping).  ``column_range`` mirrors reduce.py:125-186.
+vectorizes — the reference's wgsx/wgsy work-group search
+(reduce.py:56-74) has no analogue, so this template has **no autotune**
+and ``tuning`` is accepted for signature parity and ignored.
+``column_range`` mirrors reduce.py:125-186.
 """
 
 from typing import Any, Callable, Mapping, Optional, Tuple, Union
@@ -16,7 +18,6 @@ from typing import Any, Callable, Mapping, Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 
-from ..utils import tune
 from . import base, wgreduce
 
 
@@ -39,8 +40,6 @@ class HReduceTemplate:
         Identity value for `op` (required for callables; ignored for named
         operators, which know their own).
     """
-
-    autotune_version = 0
 
     def __init__(
         self,
@@ -65,16 +64,6 @@ class HReduceTemplate:
             self.reduce_op = wgreduce.ReduceOp("custom", op, lambda dt: jnp.asarray(ident, dt))
             self.op = op
             self.identity = identity
-        if tuning is None:
-            tuning = self.autotune(context, str(self.dtype))
-        self.wgsx = tuning.get("wgsx", 64)
-        self.wgsy = tuning.get("wgsy", 4)
-
-    @classmethod
-    @tune.autotuner(test={"wgsx": 64, "wgsy": 4})
-    def autotune(cls, context, dtype) -> Mapping[str, Any]:
-        # Single XLA reduce: no searchable dimension.
-        return {"wgsx": 64, "wgsy": 4}
 
     def instantiate(
         self,

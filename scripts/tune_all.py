@@ -25,7 +25,7 @@ _backend.apply_platform_env()
 
 
 def main():
-    from katsdpsigproc_tpu.ops import maskedsum, percentile, transpose
+    from katsdpsigproc_tpu.ops import percentile, transpose
     from katsdpsigproc_tpu.utils import backend, tune
 
     ctx = backend.create_some_context()
@@ -59,11 +59,15 @@ def main():
 
     tune.autotuner_impl = forcing_impl
 
-    from katsdpsigproc_tpu.models.rfi import pallas_flagger
+    from katsdpsigproc_tpu.models.rfi import device as rfi_device, pallas_flagger
 
     run("transpose f32", lambda: transpose.TransposeTemplate(ctx, np.float32).engine)
+    run("transpose c64", lambda: transpose.TransposeTemplate(ctx, np.complex64).engine)
     run("percentile 5000", lambda: percentile.Percentile5Template(ctx, 5000, True).engine)
-    run("maskedsum", lambda: maskedsum.MaskedSumTemplate(ctx).size)
+    run("background median", lambda: rfi_device.BackgroundMedianFilterDeviceTemplate(
+        ctx, 13).engine)
+    run("madnz transposed", lambda: rfi_device.NoiseEstMADTDeviceTemplate(ctx).radix_bits)
+    run("madnz straight", lambda: rfi_device.NoiseEstMADDeviceTemplate(ctx).radix_bits)
     run("fused flagger", lambda: (
         lambda t: (t.bb, t.nref, t.pipeline))(pallas_flagger.FusedFlaggerTemplate(ctx)))
 

@@ -152,14 +152,19 @@ def test_adapt_value():
     assert tune.adapt_value(42) == 42
 
 
-def test_shipped_table_covers_every_template(monkeypatch):
-    """Instantiating any template must resolve from the shipped table —
-    a missing record silently falls through to a LIVE measured search
-    (regression: the FusedFlaggerTemplate v5 record was briefly absent
-    and every instantiation re-tuned)."""
-    from katsdpsigproc_tpu.models.rfi import pallas_flagger
-    from katsdpsigproc_tpu.ops import maskedsum, percentile, transpose
+def test_shipped_table_covers_every_template(tmp_path, monkeypatch):
+    """Instantiating any autotuned template must resolve from the SHIPPED
+    table — a missing record silently falls through to a LIVE measured
+    search (regression: the FusedFlaggerTemplate v5 record was briefly
+    absent and every instantiation re-tuned).  The user cache is pointed
+    at an empty path so a machine-local record cannot mask a gap in the
+    shipped table (that is exactly how a missing MaskedSum record once
+    went unnoticed)."""
+    from katsdpsigproc_tpu.models.rfi import device as rfi_device, pallas_flagger
+    from katsdpsigproc_tpu.ops import percentile, transpose
     from katsdpsigproc_tpu.utils import backend, tune
+
+    monkeypatch.setenv("KATSDPSIGPROC_TPU_TUNE_DB", str(tmp_path / "empty.json"))
 
     def strict_impl(test, fn, *args, **kwargs):
         cls = args[0] if args else None
@@ -175,5 +180,7 @@ def test_shipped_table_covers_every_template(monkeypatch):
     transpose.TransposeTemplate(ctx, "float32")
     transpose.TransposeTemplate(ctx, "complex64")
     percentile.Percentile5Template(ctx, 5000, True)
-    maskedsum.MaskedSumTemplate(ctx)
+    rfi_device.BackgroundMedianFilterDeviceTemplate(ctx, 13)
+    rfi_device.NoiseEstMADTDeviceTemplate(ctx)
+    rfi_device.NoiseEstMADDeviceTemplate(ctx)
     pallas_flagger.FusedFlaggerTemplate(ctx)
