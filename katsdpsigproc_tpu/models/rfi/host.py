@@ -209,26 +209,33 @@ class ThresholdSumHost(AbstractThresholdHost):
 
     def apply_baseline(self, deviations: np.ndarray, threshold1: float) -> np.ndarray:
         """Apply the thresholding to a single baseline; returns bool flags."""
-        deviations = deviations.copy()
-        flags = np.zeros_like(deviations, dtype=np.bool_)
+        return self._apply(deviations[:, np.newaxis], np.asarray([threshold1]))[:, 0]
+
+    def _apply(self, deviations: np.ndarray, threshold1: np.ndarray) -> np.ndarray:
+        """SumThreshold every baseline (column) at once; `threshold1` is the
+        per-baseline single-sample threshold.  Window sums run in float64
+        via shifted adds — the same per-element accumulation order as the
+        device path's float32 ladders (device.threshold_sum)."""
+        channels = deviations.shape[0]
+        dev = deviations.astype(np.float64)
+        flags = np.zeros(dev.shape, dtype=np.bool_)
         for window, scale in zip(self.windows, self.threshold_scales):
-            threshold = np.float32(threshold1 * scale)
-            # Force already identified outliers to the threshold
-            deviations[flags] = threshold
-            # Full-window rolling sums (np.convolve 'valid' in the reference)
-            sums = np.convolve(deviations, np.ones(window), mode="valid")
-            sum_flags = sums > threshold * window
-            # Distribute flags over every sample covered by an outlier window
-            flags |= np.convolve(sum_flags, np.ones(window, dtype=np.bool_))
+            if window > channels:
+                break
+            threshold = (threshold1 * scale).astype(np.float32)
+            np.copyto(dev, threshold[np.newaxis, :], where=flags)
+            n_out = channels - window + 1
+            sums = dev[:n_out].copy()
+            for j in range(1, window):
+                sums += dev[j:n_out + j]
+            sum_flags = sums > threshold[np.newaxis, :].astype(np.float64) * window
+            for j in range(window):
+                flags[j:n_out + j] |= sum_flags
         return flags
 
     def __call__(self, deviations: np.ndarray, noise: np.ndarray) -> np.ndarray:
-        flags = np.empty_like(deviations, dtype=np.uint8)
-        baselines = deviations.shape[1]
-        for i in range(baselines):
-            bl_flags = self.apply_baseline(deviations[:, i], self.n_sigma * noise[i])
-            flags[:, i] = bl_flags * np.uint8(self.flag_value)
-        return flags
+        flags = self._apply(deviations, self.n_sigma * np.asarray(noise, dtype=np.float64))
+        return np.where(flags, np.uint8(self.flag_value), np.uint8(0))
 
 
 class FlaggerHost(AbstractFlaggerHost):
