@@ -123,7 +123,9 @@ def bench_config2(args):
     x = jnp.asarray(data)
     xc = jnp.asarray(planar)
     xm = jnp.asarray(mask)
-    timer = _accum_timer(args.iters)
+    # Both bodies are µs-scale: the marginal (tn - t1) window needs many
+    # back-to-back iterations to clear tunnel dispatch jitter.
+    timer = _accum_timer(max(args.iters, 200))
     dt_pct = timer(pct.percentile5, x)
     dt_ms = timer(ms.maskedsum, xc, xm)
     n = rows * cols
@@ -323,6 +325,11 @@ def main():
         )
 
     # ---- parity check on a subsampled block (vs host oracle) -------------
+    # An engine that fails to RUN (e.g. a Mosaic compile rejection on this
+    # backend) is disabled and recorded in the JSON, so one broken engine
+    # cannot sink the whole bench.  An engine that runs but produces WRONG
+    # flags still aborts hard.
+    failed = {}
     if not args.skip_parity:
         sub = (slice(0, min(512, args.channels)), slice(0, min(64, args.baselines)))
         sub_vis = vis_np[sub]
@@ -335,30 +342,34 @@ def main():
         planar = rfi_device.to_planar(sub_vis)
         sub_t = jnp.asarray(np.moveaxis(planar, 0, 1).copy())
         # The small parity block needs enough rows per Pallas block (bb*H ≥ 8)
-        pallas_parity = pallas_flagger.flag_transposed(
-            sub_t, width=args.width, n_sigma=11.0, bb=min(8, sub_t.shape[0]),
-            interpret=interpret,
-        )
-        pallas_dma_parity = pallas_flagger.flag_transposed_dma(
-            sub_t, width=args.width, n_sigma=11.0, bb=min(8, sub_t.shape[0]),
-            interpret=interpret,
-        )
+        parity_bb = min(8, sub_t.shape[0])
         hybrid_parity_fn = rfi_device.make_flagger_fn(
             args.width, 11.0, threshold="sum", engine="hybrid",
-            pallas_kw=dict(bb=min(8, sub_t.shape[0]), interpret=interpret),
+            pallas_kw=dict(bb=parity_bb, interpret=interpret),
         )
         hybrid_dma_parity_fn = rfi_device.make_flagger_fn(
             args.width, 11.0, threshold="sum", engine="hybrid",
-            pallas_kw=dict(bb=min(8, sub_t.shape[0]), interpret=interpret,
-                           pipeline="dma"),
+            pallas_kw=dict(bb=parity_bb, interpret=interpret, pipeline="dma"),
         )
-        for name, got in [
-            ("xla", np.asarray(xla_parity_fn(jnp.asarray(planar)))),
-            ("pallas", np.asarray(pallas_parity).T),
-            ("pallas_dma", np.asarray(pallas_dma_parity).T),
-            ("hybrid", np.asarray(hybrid_parity_fn(jnp.asarray(planar)))),
-            ("hybrid_dma", np.asarray(hybrid_dma_parity_fn(jnp.asarray(planar)))),
-        ]:
+        parity_checks = [
+            ("xla", lambda: np.asarray(xla_parity_fn(jnp.asarray(planar)))),
+            ("pallas", lambda: np.asarray(pallas_flagger.flag_transposed(
+                sub_t, width=args.width, n_sigma=11.0, bb=parity_bb,
+                interpret=interpret)).T),
+            ("pallas_dma", lambda: np.asarray(pallas_flagger.flag_transposed_dma(
+                sub_t, width=args.width, n_sigma=11.0, bb=parity_bb,
+                interpret=interpret)).T),
+            ("hybrid", lambda: np.asarray(hybrid_parity_fn(jnp.asarray(planar)))),
+            ("hybrid_dma", lambda: np.asarray(hybrid_dma_parity_fn(jnp.asarray(planar)))),
+        ]
+        for name, check in parity_checks:
+            try:
+                got = check()
+            except Exception as exc:  # noqa: BLE001
+                msg = str(exc).splitlines()[0][:200] if str(exc) else type(exc).__name__
+                log(f"parity[{name}]: engine failed to run: {msg}")
+                failed[name] = msg
+                continue
             mismatches = int((got != expected).sum())
             log(f"parity[{name}]: {mismatches} mismatching flags of {expected.size}")
             if mismatches:
@@ -369,57 +380,75 @@ def main():
     planar = rfi_device.to_planar(vis_np)
     timer = _accum_timer(args.iters)
 
-    results = {}
+    results = {}  # name -> (seconds-per-dump, extrapolated?)
     # The fused Pallas engine is timed per slab (the dump is just
     # n_slabs sequential slab executions; wrapping the whole flag_dump
-    # scan in the timing scan trips the remote AOT allocator).
+    # scan in the timing scan trips the remote AOT allocator).  Its
+    # full-dump figure is therefore EXTRAPOLATED (dt_slab × n_slabs):
+    # honest about on-chip compute, blind to tail-slab and inter-slab
+    # dispatch — so extrapolated entries never set the headline.
     slab = min(args.slab, args.baselines)
     vis_t_slab = jnp.asarray(np.moveaxis(planar[:, :slab], 0, 1).copy())
-    try:
-        dt_slab = timer(
+    timing_runs = [
+        ("pallas", True, lambda: timer(
             lambda v: pallas_flagger.flag_transposed(
                 v, width=args.width, n_sigma=11.0, bb=args.bb, nref=args.nref,
                 interpret=interpret,
             ),
             vis_t_slab,
-        )
-        results["pallas"] = dt_slab * (args.baselines / slab)
-    except Exception as exc:  # noqa: BLE001
-        log(f"pallas engine failed: {exc}")
-    try:
+        ) * (args.baselines / slab)),
         # One grid step per slab: the in-kernel DMA block loop pays the
         # per-grid-step dispatch overhead once instead of once per block.
-        dt_dma = timer(
+        ("pallas_dma", True, lambda: timer(
             lambda v: pallas_flagger.flag_transposed_dma(
                 v, width=args.width, n_sigma=11.0, bb=args.bb, interpret=interpret,
             ),
             vis_t_slab,
-        )
-        results["pallas_dma"] = dt_dma * (args.baselines / slab)
-    except Exception as exc:  # noqa: BLE001
-        log(f"pallas_dma engine failed: {exc}")
-    del vis_t_slab
+        ) * (args.baselines / slab)),
+    ]
     vis_xla = jnp.asarray(planar)
-    try:
-        results["hybrid"] = timer(hybrid_fn, vis_xla)
-    except Exception as exc:  # noqa: BLE001
-        log(f"hybrid engine failed: {exc}")
-    try:
-        results["hybrid_dma"] = timer(hybrid_dma_fn, vis_xla)
-    except Exception as exc:  # noqa: BLE001
-        log(f"hybrid_dma engine failed: {exc}")
-    results["xla"] = timer(xla_fn, vis_xla)
-    for name, t in results.items():
-        log(f"engine[{name}]: {t * 1e3:.3f} ms ({n_vis / t / 1e9:.2f} Gvis/s)")
-    dt = min(results.values())
+    timing_runs += [
+        ("hybrid", False, lambda: timer(hybrid_fn, vis_xla)),
+        ("hybrid_dma", False, lambda: timer(hybrid_dma_fn, vis_xla)),
+        ("xla", False, lambda: timer(xla_fn, vis_xla)),
+    ]
+    for name, extrapolated, run in timing_runs:
+        if name in failed:
+            log(f"engine[{name}]: skipped (failed parity run)")
+            continue
+        try:
+            results[name] = (run(), extrapolated)
+        except Exception as exc:  # noqa: BLE001
+            msg = str(exc).splitlines()[0][:200] if str(exc) else type(exc).__name__
+            log(f"{name} engine failed: {msg}")
+            failed[name] = msg
+    for name, (t, extrapolated) in results.items():
+        tag = " (extrapolated from one slab)" if extrapolated else ""
+        log(f"engine[{name}]: {t * 1e3:.3f} ms ({n_vis / t / 1e9:.2f} Gvis/s){tag}")
+    measured = {k: t for k, (t, extrapolated) in results.items() if not extrapolated}
+    if not measured:
+        raise SystemExit("no end-to-end engine produced a timing")
+    best_name = min(measured, key=measured.get)
+    dt = measured[best_name]
     value = n_vis / dt
     roofline = hbm * 1e9 / BYTES_PER_VIS
     vs_baseline = value / (TARGET_FRACTION * roofline)
     log(
-        f"median {dt * 1e3:.3f} ms over {args.iters} iters; "
+        f"best end-to-end engine [{best_name}]: {dt * 1e3:.3f} ms "
+        f"(marginal per-iteration time over {args.iters} on-chip iters); "
         f"{value / 1e9:.2f} Gvis/s; roofline {roofline / 1e9:.1f} Gvis/s "
         f"({value / roofline * 100:.1f}% of speed of light)"
     )
+    engines = {
+        name: {
+            "seconds_per_dump": t,
+            "vis_per_second": n_vis / t,
+            "extrapolated": extrapolated,
+        }
+        for name, (t, extrapolated) in results.items()
+    }
+    for name, msg in failed.items():
+        engines[name] = {"failed": msg}
     print(
         json.dumps(
             {
@@ -427,6 +456,8 @@ def main():
                 "value": value,
                 "unit": "vis/s",
                 "vs_baseline": vs_baseline,
+                "engine": best_name,
+                "engines": engines,
             }
         )
     )

@@ -305,8 +305,12 @@ def _flagger_body(vis_ref, in_flags_ref, flags_ref, *, width: int, n_sigma: floa
                   n_windows: int, falloff: float, flag_value: int, channels: int,
                   h: int, flags_mode: str, interpret: bool):
     use_flags = flags_mode != "none"
-    re = vis_ref[:, :, 0]
-    im = vis_ref[:, :, 1]
+    # Planar-LEADING block (2, R, W): re/im each load as a full (R, W)
+    # lane-aligned tile.  (A trailing (R, W, 2) block would make the
+    # size-2 re/im axis the LANE dimension — 2/128 lane occupancy and a
+    # Mosaic-rejected lane slice on the DMA path.)
+    re = vis_ref[0]
+    im = vis_ref[1]
     amp = jnp.sqrt(re * re + im * im)  # (R, W)
     rows, ww = amp.shape
     col = (
@@ -442,10 +446,12 @@ def madnz_threshold(dev_t, n_sigma: float = 11.0, n_windows: int = 4, falloff: f
 
         def kernel(dev_hbm, out_hbm):
             _dma_block_loop(
-                dev_hbm, out_hbm, per_block,
+                [(lambda idx: dev_hbm.at[pl.ds(idx * block_rows, block_rows)],
+                  (block_rows, fold), jnp.float32)],
+                [(lambda idx: out_hbm.at[pl.ds(idx * block_rows, block_rows)],
+                  (block_rows, fold), jnp.uint8)],
+                per_block,
                 n_blocks=baselines // bb,
-                in_block=((block_rows, fold), jnp.float32),
-                out_block=((block_rows, fold), jnp.uint8),
             )
 
         kwargs = {}
@@ -676,8 +682,9 @@ def flag_transposed(vis_t, input_flags=None, width: int = 13, n_sigma: float = 1
             input_flags = jnp.pad(input_flags, ((0, 0), (0, padded_c - channels)))
         if channel_flags is not None:
             channel_flags = jnp.pad(channel_flags, ((0, padded_c - channels),))
-    # Band-folded rows: row b*hh + h holds channels [h*fold, (h+1)*fold)
-    folded = vis_t.reshape(baselines * hh, fold, 2)
+    # Band-folded rows: row b*hh + h holds channels [h*fold, (h+1)*fold),
+    # with re/im moved to a LEADING planar axis (lane dim stays `fold`).
+    folded = jnp.moveaxis(vis_t.reshape(baselines * hh, fold, 2), -1, 0)
     block_rows = bb * hh
 
     flags_mode = "none"
@@ -703,7 +710,7 @@ def flag_transposed(vis_t, input_flags=None, width: int = 13, n_sigma: float = 1
 
     if nref == 1:
         kernel = functools.partial(_flagger_kernel, **algo_kw)
-        in_specs = [pl.BlockSpec((block_rows, fold, 2), lambda i: (i, 0, 0), memory_space=_VMEM)]
+        in_specs = [pl.BlockSpec((2, block_rows, fold), lambda i: (0, i, 0), memory_space=_VMEM)]
         operands = [folded]
         if input_flags is not None:
             in_specs.append(pl.BlockSpec((block_rows, fold), lambda i: (i, 0), memory_space=_VMEM))
@@ -729,7 +736,7 @@ def flag_transposed(vis_t, input_flags=None, width: int = 13, n_sigma: float = 1
     grid_steps = baselines // (bb * nref)
     kernel = functools.partial(_flagger_kernel_multi, nref=nref, **algo_kw)
     in_specs = [
-        pl.BlockSpec((block_rows, fold, 2), (lambda i, k=k: (i * nref + k, 0, 0)),
+        pl.BlockSpec((2, block_rows, fold), (lambda i, k=k: (0, i * nref + k, 0)),
                      memory_space=_VMEM)
         for k in range(nref)
     ]
@@ -781,72 +788,72 @@ def _flagger_kernel_dma(*refs, n_blocks: int, block_rows: int, fold: int,
     flags_mode = algo_kw["flags_mode"]
     if flags_mode == "channel":
         vis_hbm, cf_ref, flags_hbm = refs
-        in2 = None
+        if_hbm = None
     elif flags_mode == "full":
         vis_hbm, if_hbm, flags_hbm = refs
         cf_ref = None
-        in2 = (if_hbm, ((block_rows, fold), jnp.uint8))
     else:
         vis_hbm, flags_hbm = refs
         cf_ref = None
-        in2 = None
+        if_hbm = None
 
-    if in2 is None:
+    # vis stream: planar-leading (2, R, W) HBM layout, blocks cut on the
+    # row (sublane) axis — the lane axis W is never sliced.
+    ins = [(
+        lambda idx: vis_hbm.at[:, pl.ds(idx * block_rows, block_rows)],
+        (2, block_rows, fold), jnp.float32,
+    )]
+    if if_hbm is not None:
+        ins.append((
+            lambda idx: if_hbm.at[pl.ds(idx * block_rows, block_rows)],
+            (block_rows, fold), jnp.uint8,
+        ))
+    outs = [(
+        lambda idx: flags_hbm.at[pl.ds(idx * block_rows, block_rows)],
+        (block_rows, fold), jnp.uint8,
+    )]
+
+    if if_hbm is None:
         def per_block(in_view, out_view):
             _flagger_body(in_view, cf_ref, out_view, **algo_kw)
     else:
         def per_block(in_view, if_view, out_view):
             _flagger_body(in_view, if_view, out_view, **algo_kw)
 
-    _dma_block_loop(
-        vis_hbm, flags_hbm, per_block,
-        n_blocks=n_blocks,
-        in_block=((block_rows, fold, 2), jnp.float32),
-        out_block=((block_rows, fold), jnp.uint8),
-        in2=in2,
-    )
+    _dma_block_loop(ins, outs, per_block, n_blocks=n_blocks)
 
 
-def _dma_block_loop(in_hbm, out_hbm, per_block, *, n_blocks: int, in_block, out_block,
-                    in2=None):
-    """Run ``per_block(in_view[, in2_view], out_view)`` over HBM row-blocks.
+def _dma_block_loop(ins, outs, per_block, *, n_blocks: int):
+    """Run ``per_block(*in_views, *out_views)`` over HBM blocks.
 
-    Double-buffered: two VMEM slots per side; block ``i+1``'s read DMA is
-    issued before block ``i`` computes, and a slot's output buffer is
+    Double-buffered: two VMEM slots per stream; block ``i+1``'s read DMAs
+    are issued before block ``i`` computes, and a slot's output buffer is
     reused only after its write DMA from two blocks back has landed.
-    ``in_block``/``out_block`` are ``(shape, dtype)`` per block; blocks
-    tile axis 0 of the HBM refs.  ``in2`` is an optional second input
-    stream as ``(hbm_ref, (shape, dtype))`` with the same blocking.
+
+    ``ins``/``outs`` are lists of ``(slice_fn, shape, dtype)`` streams:
+    ``slice_fn(idx)`` returns the HBM ref view for block ``idx`` (shape
+    ``shape``).  Lane-dim (last-axis) slicing is forbidden by Mosaic —
+    slicers must cut leading/sublane axes only, sublane cuts in multiples
+    of 8.
     """
-    (in_shape, in_dtype), (out_shape, out_dtype) = in_block, out_block
-    rows_in, rows_out = in_shape[0], out_shape[0]
-    in2_hbm, (in2_shape, in2_dtype) = in2 if in2 is not None else (None, ((), jnp.float32))
 
-    def body(scratch_in, scratch_out, in_sems, out_sems, scratch_in2=None, in2_sems=None):
-        def in_dma(slot, idx):
+    def body(*scoped):
+        n_in, n_out = len(ins), len(outs)
+        scratch_ins = scoped[:n_in]
+        scratch_outs = scoped[n_in : n_in + n_out]
+        in_sems = scoped[n_in + n_out : 2 * n_in + n_out]
+        out_sems = scoped[2 * n_in + n_out :]
+
+        def in_dma(k, slot, idx):
             return pltpu.make_async_copy(
-                in_hbm.at[pl.ds(idx * rows_in, rows_in)],
-                scratch_in.at[slot],
-                in_sems.at[slot],
-            )
+                ins[k][0](idx), scratch_ins[k].at[slot], in_sems[k].at[slot])
 
-        def in2_dma(slot, idx):
+        def out_dma(k, slot, idx):
             return pltpu.make_async_copy(
-                in2_hbm.at[pl.ds(idx * in2_shape[0], in2_shape[0])],
-                scratch_in2.at[slot],
-                in2_sems.at[slot],
-            )
+                scratch_outs[k].at[slot], outs[k][0](idx), out_sems[k].at[slot])
 
-        def out_dma(slot, idx):
-            return pltpu.make_async_copy(
-                scratch_out.at[slot],
-                out_hbm.at[pl.ds(idx * rows_out, rows_out)],
-                out_sems.at[slot],
-            )
-
-        in_dma(0, 0).start()
-        if in2 is not None:
-            in2_dma(0, 0).start()
+        for k in range(n_in):
+            in_dma(k, 0, 0).start()
 
         def loop(i, carry):
             cur = lax.rem(i, 2)
@@ -854,44 +861,40 @@ def _dma_block_loop(in_hbm, out_hbm, per_block, *, n_blocks: int, in_block, out_
 
             @pl.when(i + 1 < n_blocks)
             def _():
-                in_dma(nxt, i + 1).start()
-                if in2 is not None:
-                    in2_dma(nxt, i + 1).start()
+                for k in range(n_in):
+                    in_dma(k, nxt, i + 1).start()
 
-            in_dma(cur, i).wait()
-            if in2 is not None:
-                in2_dma(cur, i).wait()
+            for k in range(n_in):
+                in_dma(k, cur, i).wait()
 
             # The output written from this slot two blocks ago must have
             # landed before the slot's buffer is overwritten.
             @pl.when(i >= 2)
             def _():
-                out_dma(cur, i - 2).wait()
+                for k in range(n_out):
+                    out_dma(k, cur, i - 2).wait()
 
-            if in2 is None:
-                per_block(scratch_in.at[cur], scratch_out.at[cur])
-            else:
-                per_block(scratch_in.at[cur], scratch_in2.at[cur], scratch_out.at[cur])
-            out_dma(cur, i).start()
+            per_block(*[s.at[cur] for s in scratch_ins],
+                      *[s.at[cur] for s in scratch_outs])
+            for k in range(n_out):
+                out_dma(k, cur, i).start()
             return carry
 
         lax.fori_loop(0, n_blocks, loop, jnp.int32(0))
 
         # n_blocks is static: drain the last one or two in-flight writes.
-        if n_blocks >= 2:
-            out_dma((n_blocks - 2) % 2, n_blocks - 2).wait()
-        out_dma((n_blocks - 1) % 2, n_blocks - 1).wait()
+        for k in range(n_out):
+            if n_blocks >= 2:
+                out_dma(k, (n_blocks - 2) % 2, n_blocks - 2).wait()
+            out_dma(k, (n_blocks - 1) % 2, n_blocks - 1).wait()
 
-    scoped = dict(
-        scratch_in=pltpu.VMEM((2,) + tuple(in_shape), in_dtype),
-        scratch_out=pltpu.VMEM((2,) + tuple(out_shape), out_dtype),
-        in_sems=pltpu.SemaphoreType.DMA((2,)),
-        out_sems=pltpu.SemaphoreType.DMA((2,)),
+    scoped = (
+        [pltpu.VMEM((2,) + tuple(shape), dtype) for _, shape, dtype in ins]
+        + [pltpu.VMEM((2,) + tuple(shape), dtype) for _, shape, dtype in outs]
+        + [pltpu.SemaphoreType.DMA((2,)) for _ in ins]
+        + [pltpu.SemaphoreType.DMA((2,)) for _ in outs]
     )
-    if in2 is not None:
-        scoped["scratch_in2"] = pltpu.VMEM((2,) + tuple(in2_shape), in2_dtype)
-        scoped["in2_sems"] = pltpu.SemaphoreType.DMA((2,))
-    pl.run_scoped(body, **scoped)
+    pl.run_scoped(body, *scoped)
 
 
 @functools.partial(
@@ -923,7 +926,7 @@ def flag_transposed_dma(vis_t, input_flags=None, width: int = 13, n_sigma: float
             channel_flags = jnp.pad(channel_flags, ((0, padded_c - channels),))
         if input_flags is not None:
             input_flags = jnp.pad(input_flags, ((0, 0), (0, padded_c - channels)))
-    folded = vis_t.reshape(baselines * hh, fold, 2)
+    folded = jnp.moveaxis(vis_t.reshape(baselines * hh, fold, 2), -1, 0)
     block_rows = bb * hh
     n_blocks = baselines // bb
 

@@ -62,6 +62,10 @@ def _masked_median_axis0(data, valid, *, empty_value):
     machinery); ``result + prev) * 0.5`` reproduces np.median's central
     averaging bit for bit.
     """
+    if data.shape[0] == 0:
+        # Empty population (e.g. a zero-length frequency chunk when
+        # freq_chunks > channels): every output is the empty value.
+        return jnp.full(data.shape[1:], empty_value, data.dtype)
     vals = jnp.where(valid, data, jnp.nan)
     # Search along the last axis, batched over the rest.
     vals_t = jnp.moveaxis(vals, 0, -1)
@@ -293,6 +297,8 @@ def _sum_threshold1d(data, flags, windows, outlier_nsigma, rho, chunks: np.ndarr
     out_parts = []
     for ci in range(len(chunks) - 1):
         lo, hi = int(chunks[ci]), int(chunks[ci + 1])
+        if hi == lo:  # zero-length chunk (freq_chunks > channels)
+            continue
         chunk_data = data[lo:hi]
         chunk_flags = flags[lo:hi]
         threshold0 = _median_abs_axis0(chunk_data, chunk_flags)[0]  # (M,)
@@ -490,7 +496,13 @@ class SumThresholdFlagger:
             avg_data, avg_flags = _average_freq(in_data, in_flags, self.average_freq)
             tmp = jax.vmap(per_baseline)(avg_data, avg_flags)  # (bl, time, freq)
             out = jnp.moveaxis(tmp, 0, -1)
-            nan_in = jnp.isnan(jnp.abs(in_data))
+            # For complex input the reference flags isnan(re)|isnan(im)
+            # (twodflag.py:687); isnan(abs(x)) would miss e.g. inf+nan·j
+            # (whose magnitude is inf).
+            if jnp.iscomplexobj(in_data):
+                nan_in = jnp.isnan(jnp.real(in_data)) | jnp.isnan(jnp.imag(in_data))
+            else:
+                nan_in = jnp.isnan(in_data)
             return out | nan_in
 
         self._impl_cache[shape] = impl

@@ -152,8 +152,13 @@ class Operation:
             self._bound[name] = array
 
     def ensure_all_bound(self) -> None:
-        """Allocate zeroed arrays for unbound input slots (accel.py:1692-1696)."""
-        for name, slot in self.input_slots().items():
+        """Allocate zeroed arrays for EVERY unbound slot (accel.py:1692-1696).
+
+        The reference allocates output slots too, so ``buffer(name)`` is
+        usable before the first call; calling the operation then replaces
+        the placeholder with the computed array.
+        """
+        for name, slot in self.slots.items():
             if name not in self._bound:
                 self._bound[name] = jnp.zeros(slot.shape, slot.dtype)
 

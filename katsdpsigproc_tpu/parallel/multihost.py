@@ -34,8 +34,14 @@ def initialize(
         return
     try:
         jax.distributed.initialize(coordinator_address, num_processes, process_id)
-    except RuntimeError as exc:  # already initialized
-        _logger.debug("jax.distributed.initialize skipped: %s", exc)
+    except RuntimeError as exc:
+        # Only double-initialization is benign (idempotency); a genuine
+        # bring-up failure (bad coordinator, timeout) must fail fast —
+        # the reference-scope failure model (SURVEY.md §5).
+        if "already initialized" in str(exc).lower():
+            _logger.debug("jax.distributed.initialize skipped: %s", exc)
+        else:
+            raise
 
 
 def pod_mesh(

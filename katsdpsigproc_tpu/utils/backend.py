@@ -98,15 +98,33 @@ def create_some_context(
 ) -> DeviceContext:
     """Pick the best available device and wrap it in a :class:`DeviceContext`.
 
-    Mirrors the reference's preference ordering (accel.py:302-365) with
-    TPU > GPU > CPU; `interactive` prompting is not supported (TPU nodes are
-    headless) and is accepted for API compatibility only.
+    Mirrors the reference's contract (accel.py:302-365): if `interactive`
+    and stdin is a tty and there are multiple candidates, prompt the user
+    for a device number (invalid selections raise ``RuntimeError``);
+    otherwise choose the best-ranked device, TPU > GPU > CPU the way the
+    reference prefers CUDA > GPU > accelerator > other.
     """
+    import sys
+
     if devices is None:
         devices = candidate_devices(device_filter)
     if not devices:
         raise RuntimeError("No matching device found")
-    best = max(devices, key=_rank)
+    if interactive and len(devices) > 1 and sys.stdin.isatty():
+        print("Select device:")
+        for i, device in enumerate(devices):
+            print(f"    [{i}]: {device.device_kind} ({device.platform})")
+        print()
+        choice_str = input("Enter selection: ")
+        try:
+            choice = int(choice_str)
+            if choice < 0:
+                raise IndexError  # no negative indexing (reference accel.py:358-359)
+            best = devices[choice]
+        except (ValueError, IndexError):
+            raise RuntimeError("Invalid device number") from None
+    else:
+        best = max(devices, key=_rank)
     return DeviceContext(best)
 
 

@@ -33,7 +33,8 @@ def time_fn(fn: Callable[[], object], iters: int = 10, warmup: int = 2) -> float
     return float(np.median(times))
 
 
-def time_scan(fn: Callable, args, iters: int = 20, warmup: bool = True) -> float:
+def time_scan(fn: Callable, args, iters: int = 20, warmup: bool = True,
+              reps: int = 3) -> float:
     """Seconds per call of `fn(*args)`, iterations serialized ON-CHIP.
 
     The only honest timing under this machine's remote-execution tunnel
@@ -82,8 +83,11 @@ def time_scan(fn: Callable, args, iters: int = 20, warmup: bool = True) -> float
     if warmup:
         run(prog_1)  # compile both + absorb first-dispatch effects
         run(prog_n)
-    t1 = run(prog_1)  # dispatch + fetch overhead with ONE execution
-    tn = run(prog_n)
+    # min-of-reps on both windows: a single (t1, tn) pair is dominated by
+    # tunnel jitter for µs-scale bodies and can even go negative after the
+    # subtraction (bench config 2's maskedsum once "measured" 0.000 ms).
+    t1 = min(run(prog_1) for _ in range(reps))
+    tn = min(run(prog_n) for _ in range(reps))
     # Subtracting the single-execution window removes the constant
     # dispatch/fetch overhead; the result is pure marginal per-iteration
     # on-chip time.

@@ -28,7 +28,8 @@ from typing import Any, Tuple
 
 import numpy as np
 
-__all__ = ["canonical_region", "copy_region", "get_region", "set_region"]
+__all__ = ["canonical_region", "copy_region", "copy_region_donated",
+           "get_region", "set_region"]
 
 _Slice = Any  # int | slice | newaxis | tuple of same (np.s_ expression)
 
@@ -107,6 +108,44 @@ def copy_region(src, dest, src_region: _Slice, dest_region: _Slice):
     # Both selections have equal shape up to newaxis-inserted 1s; align the
     # copied values to the destination's basic-index shape.
     return dest.at[dest_index].set(values.reshape(_basic_shape(dest_index, dest.shape)))
+
+
+_DONATED_CACHE: dict = {}
+
+
+def copy_region_donated(src, dest, src_region: _Slice, dest_region: _Slice):
+    """:func:`copy_region` through a cached jit with `dest` DONATED.
+
+    ``copy_region`` is an eager ``.at[].set`` — O(destination) work and a
+    fresh allocation per call.  This variant compiles one program per
+    (shapes, dtype, regions) signature with the destination buffer
+    donated, so in steady state XLA updates the region in place: the
+    right form when region copies sit in a loop.  The donated `dest`
+    array is CONSUMED — use the returned array afterwards.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    src = jnp.asarray(src)
+    dest = jnp.asarray(dest)
+    src_index, _, dest_index, _ = _check_pair(src, dest, src_region, dest_region)
+    key = (
+        src.shape, dest.shape, str(src.dtype),
+        tuple((s.start, s.stop, s.step) if isinstance(s, slice) else s
+              for s in src_index),
+        tuple((s.start, s.stop, s.step) if isinstance(s, slice) else s
+              for s in dest_index),
+    )
+    fn = _DONATED_CACHE.get(key)
+    if fn is None:
+        shape = _basic_shape(dest_index, dest.shape)
+
+        def impl(s, d):
+            return d.at[dest_index].set(s[src_index].reshape(shape))
+
+        fn = jax.jit(impl, donate_argnums=(1,))
+        _DONATED_CACHE[key] = fn
+    return fn(src, dest)
 
 
 def get_region(src, ary: np.ndarray, device_region: _Slice, ary_region: _Slice) -> None:

@@ -52,6 +52,19 @@ class TestOperation:
         op()
         np.testing.assert_allclose(op.buffer("dest"), 0.0)
 
+    def test_ensure_all_bound_allocates_outputs(self):
+        # The reference allocates EVERY unbound slot (accel.py:1692-1696):
+        # buffer() on an output slot works before the first call.
+        op = _Scale((4, 8), 3.0)
+        op.ensure_all_bound()
+        dest = op.buffer("dest")
+        assert dest.shape == (4, 8)
+        np.testing.assert_allclose(np.asarray(dest), 0.0)
+        # Calling replaces the placeholder with the computed value.
+        op.bind(src=jnp.ones((4, 8), jnp.float32))
+        op()
+        np.testing.assert_allclose(np.asarray(op.buffer("dest")), 3.0)
+
     def test_validation(self):
         op = _Scale((4, 8), 2.0)
         with pytest.raises(ValueError):

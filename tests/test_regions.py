@@ -148,3 +148,34 @@ def test_fuzz_vs_numpy_semantics():
             expected[dest_region].shape)
         np.testing.assert_array_equal(expected, np.asarray(out),
                                       err_msg=f"trial {trial}: {src_region} -> {dest_region}")
+
+
+def test_copy_region_donated_matches_eager():
+    rs = np.random.RandomState(seed=3)
+    h_src = rs.uniform(size=(10, 12)).astype(np.float32)
+    h_dest = rs.uniform(size=(12, 10)).astype(np.float32)
+    sr, dr = np.s_[2:6, 3:9], np.s_[4:8, 1:7]
+    eager = regions.copy_region(jnp.asarray(h_src), jnp.asarray(h_dest), sr, dr)
+    donated = regions.copy_region_donated(jnp.asarray(h_src), jnp.asarray(h_dest), sr, dr)
+    np.testing.assert_array_equal(np.asarray(eager), np.asarray(donated))
+
+
+def test_copy_region_donated_caches_and_loops():
+    # Steady-state loop: the jitted program is compiled once per signature
+    # and the destination is donated each iteration.
+    regions._DONATED_CACHE.clear()
+    dest = jnp.zeros((16, 16), jnp.float32)
+    for i in range(4):
+        src = jnp.full((8, 8), float(i + 1), jnp.float32)
+        dest = regions.copy_region_donated(src, dest, np.s_[0:8, 0:8],
+                                           np.s_[4:12, 4:12])
+    assert len(regions._DONATED_CACHE) == 1
+    out = np.asarray(dest)
+    np.testing.assert_allclose(out[4:12, 4:12], 4.0)
+    np.testing.assert_allclose(out[:4], 0.0)
+
+
+def test_copy_region_donated_validates():
+    with pytest.raises(ValueError):
+        regions.copy_region_donated(jnp.zeros((4, 4)), jnp.zeros((4, 4)),
+                                    np.s_[0:2, 0:2], np.s_[0:3, 0:3])
