@@ -116,13 +116,25 @@ def zeros(values, count_fn: Callable = _default_count):
     return count_fn(values == 0)
 
 
-def _find_rank_float_axis(values, target_rank, halfway, axis, radix_bits, unroll):
-    """`find_rank_float` along an arbitrary data axis (local counting only).
+def _default_count_axis(mask, axis):
+    return jnp.sum(mask, axis=axis, dtype=jnp.int32)
+
+
+def _find_rank_float_axis(values, target_rank, halfway, axis, radix_bits, unroll,
+                          count_fn=_default_count_axis, max_below_fn=None):
+    """`find_rank_float` along an arbitrary data axis.
 
     Same greedy radix search; candidate counts carry the candidate index on
     a new trailing axis so the data axis never moves — this is how the
     straight-layout (channel-major) engine avoids the corner turn the
     reference needs for its transposed madnz variant (madnz_t.mako:72-87).
+
+    Custom counting follows the AXIS-AWARE contract (see
+    :func:`find_rank_float`): ``count_fn(mask, axis)`` reduces `axis` of a
+    values-shaped bool mask (which may carry an extra trailing candidate
+    axis, never reduced); ``max_below_fn(values, limit, axis)`` returns the
+    largest value strictly below `limit` along `axis` (0 if none), with
+    `limit` already expanded to broadcast against `values`.
     """
     batch_shape = values.shape[:axis] + values.shape[axis + 1 :]
     target_b = jnp.broadcast_to(target_rank, batch_shape)
@@ -143,7 +155,7 @@ def _find_rank_float_axis(values, target_rank, halfway, axis, radix_bits, unroll
         k = (1 << width) - 1
         j = jnp.arange(1, k + 1, dtype=jnp.int32)
         rel = (bits - expand(cur)) >> shift  # values.shape
-        counts = jnp.sum(rel[..., None] < j, axis=axis, dtype=jnp.int32)  # batch + (k,)
+        counts = count_fn(rel[..., None] < j, axis)  # batch + (k,)
         digit = jnp.sum((counts <= target_b[..., None]).astype(jnp.int32), axis=-1)
         return cur | (digit << shift)
 
@@ -162,8 +174,11 @@ def _find_rank_float_axis(values, target_rank, halfway, axis, radix_bits, unroll
             )
     result = lax.bitcast_convert_type(cur, jnp.float32)
 
-    r = jnp.sum(values < expand(result), axis=axis, dtype=jnp.int32)
-    prev = jnp.max(jnp.where(values < expand(result), values, 0.0), axis=axis)
+    r = count_fn(values < expand(result), axis)
+    if max_below_fn is None:
+        prev = jnp.max(jnp.where(values < expand(result), values, 0.0), axis=axis)
+    else:
+        prev = max_below_fn(values, expand(result), axis)
     need_avg = jnp.logical_and(jnp.broadcast_to(halfway, batch_shape), r == target_b)
     return jnp.where(need_avg, (result + prev) * 0.5, result)
 
@@ -207,11 +222,16 @@ def find_rank_float(
     count_fn
         Maps a (..., N) bool mask to (...,) int32 counts (also invoked
         with an extra candidate axis: (..., K, N) → (..., K)); override
-        with a psum-augmented version for sharded data.
+        with a psum-augmented version for sharded data.  For ``axis != -1``
+        (the straight layout) the contract is axis-aware instead:
+        ``count_fn(mask, axis)`` reduces `axis` of a values-shaped mask,
+        preserving any trailing candidate axis
+        (:func:`..parallel.collectives.collective_count_axis`).
     max_below_fn
         Maps (values, limit) to the largest value strictly below `limit`
         (0 if none); defaults to a local masked max.  Override for sharded
-        data.
+        data.  For ``axis != -1``: ``max_below_fn(values, limit, axis)``
+        with `limit` pre-expanded to broadcast against `values`.
     radix_bits
         Bits resolved per data sweep (1 reproduces the reference's binary
         search exactly).
@@ -229,10 +249,16 @@ def find_rank_float(
     if axis % values.ndim != values.ndim - 1:
         # Straight-layout path (reference madnz.mako vs madnz_t.mako): the
         # search axis stays where the caller's data lives — no corner turn.
-        if count_fn is not _default_count or max_below_fn is not None:
-            raise ValueError("custom count_fn/max_below_fn require axis=-1")
+        # Custom fns here follow the AXIS-AWARE contract: count_fn(mask,
+        # axis) / max_below_fn(values, limit, axis) — see
+        # collectives.collective_count_axis for the sharded version.
+        kw = {}
+        if count_fn is not _default_count:
+            kw["count_fn"] = count_fn
+        if max_below_fn is not None:
+            kw["max_below_fn"] = max_below_fn
         return _find_rank_float_axis(
-            values, target_rank, halfway, axis % values.ndim, radix_bits, unroll
+            values, target_rank, halfway, axis % values.ndim, radix_bits, unroll, **kw
         )
     batch_shape = values.shape[:-1]
     target_b = jnp.broadcast_to(target_rank, batch_shape)

@@ -38,14 +38,48 @@ def collective_max_below(axis_name: str):
     return max_below
 
 
-def find_rank_float(values, target_rank, halfway, axis_name: str, radix_bits: int = 4):
-    """Distributed exact order statistic over the sharded last axis.
+def collective_count_axis(axis_name: str):
+    """Axis-aware ``count_fn`` (straight layout, ``axis != -1``): local
+    reduction over the data axis, psummed over `axis_name`."""
 
-    `values` is the local shard (..., N_local); rank counts are psummed so
-    every device computes the same global result.  Radix-16 digits resolve
-    4 bits per round, so the search costs 8 tiny all-reduce rounds instead
-    of 31 — across hosts the round count is pure latency.
+    def count(mask, axis):
+        return lax.psum(jnp.sum(mask, axis=axis, dtype=jnp.int32), axis_name)
+
+    return count
+
+
+def collective_max_below_axis(axis_name: str):
+    """Axis-aware ``max_below_fn`` for the straight layout."""
+
+    def max_below(values, limit, axis):
+        local = jnp.max(jnp.where(values < limit, values, 0.0), axis=axis)
+        return lax.pmax(local, axis_name)
+
+    return max_below
+
+
+def find_rank_float(values, target_rank, halfway, axis_name: str, radix_bits: int = 4,
+                    axis: int = -1):
+    """Distributed exact order statistic over the sharded data axis.
+
+    `values` is the local shard; rank counts are psummed so every device
+    computes the same global result.  Radix-16 digits resolve 4 bits per
+    round, so the search costs 8 tiny all-reduce rounds instead of 31 —
+    across hosts the round count is pure latency.  ``axis`` selects the
+    (locally-sharded) data axis: the default is the lane-major layout;
+    any other axis runs the straight-layout search with NO corner turn
+    (reference madnz.mako vs madnz_t.mako).
     """
+    if axis % values.ndim != values.ndim - 1:
+        return rank_ops.find_rank_float(
+            values,
+            target_rank,
+            halfway,
+            count_fn=collective_count_axis(axis_name),
+            max_below_fn=collective_max_below_axis(axis_name),
+            radix_bits=radix_bits,
+            axis=axis,
+        )
     return rank_ops.find_rank_float(
         values,
         target_rank,

@@ -207,9 +207,17 @@ class TestRank:
         out = rank.median_non_zero(jnp.asarray(values), jnp.asarray(n), axis=0)
         ref = rank.median_non_zero(jnp.asarray(values.T), jnp.asarray(n))
         np.testing.assert_equal(np.asarray(out), np.asarray(ref))
-        with pytest.raises(ValueError):
-            rank.find_rank_float(jnp.asarray(values), 0, False, axis=0,
-                                 count_fn=lambda m: m.sum(-1))
+        # Custom counting on the straight layout uses the AXIS-AWARE
+        # contract count_fn(mask, axis) (see collectives.collective_count_axis).
+        out = rank.find_rank_float(
+            jnp.asarray(values), 101, True, axis=0, radix_bits=radix_bits,
+            count_fn=lambda m, ax: m.sum(ax, dtype=jnp.int32),
+            max_below_fn=lambda v, lim, ax: jnp.max(
+                jnp.where(v < lim, v, 0.0), axis=ax),
+        )
+        ref = rank.find_rank_float(jnp.asarray(values.T), 101, True,
+                                   radix_bits=radix_bits)
+        np.testing.assert_equal(np.asarray(out), np.asarray(ref))
 
     @pytest.mark.parametrize("width", [3, 5, 9, 13])
     def test_selection_network_zero_one_principle(self, width):

@@ -58,6 +58,24 @@ class TestCollectiveRank:
         np.testing.assert_equal(np.asarray(out), np.asarray(expected))
         np.testing.assert_equal(np.asarray(out), np.sort(values, axis=-1)[:, 100])
 
+    def test_find_rank_straight_layout(self, mesh_channel):
+        """Straight-layout (axis=0) sharded rank search: the channel axis is
+        sharded WITHOUT a corner turn (VERDICT round-1 item 10)."""
+        rs = np.random.RandomState(seed=21)
+        values = rs.uniform(0.01, 100.0, (512, 16)).astype(np.float32)  # (chan, bl)
+
+        def fn(v):
+            return collectives.find_rank_float(
+                v, 100, True, pmesh.CHANNEL_AXIS, axis=0)
+
+        sharded = shard_map(
+            fn, mesh=mesh_channel, in_specs=P(pmesh.CHANNEL_AXIS, None),
+            out_specs=P(None), check_rep=False,
+        )
+        out = jax.jit(sharded)(jnp.asarray(values))
+        expected = rank_ops.find_rank_float(jnp.asarray(values), 100, True, axis=0)
+        np.testing.assert_equal(np.asarray(out), np.asarray(expected))
+
     def test_median_non_zero_matches_local(self, mesh_channel):
         rs = np.random.RandomState(seed=2)
         values = rs.uniform(0.01, 10.0, (8, 256)).astype(np.float32)
