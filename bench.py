@@ -146,6 +146,7 @@ def bench_config3(args):
     import jax.numpy as jnp
 
     from katsdpsigproc_tpu.ops import transpose as tr, wgreduce
+    from katsdpsigproc_tpu.utils import backend
 
     rows, cols = 8192, 2016
     rs = np.random.RandomState(seed=1)
@@ -154,7 +155,16 @@ def bench_config3(args):
     # A bare corner turn is ~0.3 ms; the length-1-window subtraction needs
     # enough iterations for the marginal time to clear dispatch noise.
     timer = _accum_timer(max(args.iters, 50))
-    dt = timer(tr.transpose, x)
+    # Tuned engine selection (XLA vs Pallas tiles) from the shipped table.
+    # The planar (…, 2) float32 pair is semantically a complex64 corner
+    # turn — use the c64 tuning record.
+    ctx = backend.create_some_context()
+    tmpl = tr.TransposeTemplate(ctx, jnp.complex64)
+    if ctx.platform == "cpu" and tmpl.engine == "pallas":
+        # CPU runs are smoke only; interpret-mode Pallas at this scale
+        # takes minutes.
+        tmpl.engine = "xla"
+    dt = timer(lambda a: tr.transpose(a, tmpl), x)
     nbytes = rows * cols * 8 * 2  # read + write
     hbm = _hbm_gbps()
     log(f"config3 transpose {rows}x{cols} c64-planar: {dt * 1e3:.3f} ms "
@@ -239,10 +249,10 @@ def main():
     parser.add_argument("--baselines", type=int, default=2016)
     parser.add_argument("--width", type=int, default=13)
     parser.add_argument("--iters", type=int, default=10)
-    parser.add_argument("--bb", type=int, default=1, help="Pallas baselines-per-block")
+    parser.add_argument("--bb", type=int, default=8, help="Pallas baselines-per-block")
     parser.add_argument("--nref", type=int, default=1,
                         help="Pallas blocks per grid step (hybrid engine)")
-    parser.add_argument("--slab", type=int, default=252, help="Pallas baselines-per-dispatch")
+    parser.add_argument("--slab", type=int, default=288, help="Pallas baselines-per-dispatch")
     parser.add_argument("--skip-parity", action="store_true")
     parser.add_argument(
         "--config", choices=["1", "2", "3", "4", "5", "all"],
@@ -381,30 +391,30 @@ def main():
     timer = _accum_timer(args.iters)
 
     results = {}  # name -> (seconds-per-dump, extrapolated?)
-    # The fused Pallas engine is timed per slab (the dump is just
-    # n_slabs sequential slab executions; wrapping the whole flag_dump
-    # scan in the timing scan trips the remote AOT allocator).  Its
-    # full-dump figure is therefore EXTRAPOLATED (dt_slab × n_slabs):
-    # honest about on-chip compute, blind to tail-slab and inter-slab
-    # dispatch — so extrapolated entries never set the headline.
+    # The fused Pallas engines time the whole dump END-TO-END through
+    # flag_dump (one jit: a lax.scan of slab kernels) — round 1 had to
+    # extrapolate from one slab because the trailing-lane layout wedged
+    # the remote AOT allocator on the scanned program; the planar-leading
+    # layout compiles.
     slab = min(args.slab, args.baselines)
-    vis_t_slab = jnp.asarray(np.moveaxis(planar[:, :slab], 0, 1).copy())
+    vis_t_full = jnp.asarray(np.moveaxis(planar, 0, 1).copy())
     timing_runs = [
-        ("pallas", True, lambda: timer(
-            lambda v: pallas_flagger.flag_transposed(
-                v, width=args.width, n_sigma=11.0, bb=args.bb, nref=args.nref,
-                interpret=interpret,
+        ("pallas", False, lambda: timer(
+            lambda v: pallas_flagger.flag_dump(
+                v, slab=slab, width=args.width, n_sigma=11.0, bb=args.bb,
+                nref=args.nref, interpret=interpret,
             ),
-            vis_t_slab,
-        ) * (args.baselines / slab)),
+            vis_t_full,
+        )),
         # One grid step per slab: the in-kernel DMA block loop pays the
         # per-grid-step dispatch overhead once instead of once per block.
-        ("pallas_dma", True, lambda: timer(
-            lambda v: pallas_flagger.flag_transposed_dma(
-                v, width=args.width, n_sigma=11.0, bb=args.bb, interpret=interpret,
+        ("pallas_dma", False, lambda: timer(
+            lambda v: pallas_flagger.flag_dump(
+                v, slab=slab, width=args.width, n_sigma=11.0, bb=args.bb,
+                pipeline="dma", interpret=interpret,
             ),
-            vis_t_slab,
-        ) * (args.baselines / slab)),
+            vis_t_full,
+        )),
     ]
     vis_xla = jnp.asarray(planar)
     timing_runs += [

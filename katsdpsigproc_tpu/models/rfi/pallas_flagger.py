@@ -198,13 +198,25 @@ def _masked_median_rows(members, n, width: int):
     return (v_lo + v_hi) * jnp.float32(0.5)
 
 
-def _madnz_band(absdev, g, h: int, channels: int, interpret: bool):
+def _madnz_band(absdev, g, h: int, channels: int, interpret: bool,
+                rank_radix: int = 1):
     """MAD of non-zero |deviations| per band of (R, W); result per row (R, 1).
 
     NaN entries (fold padding) are absent: they count in neither the rank
     nor the zero count, matching the reference's NaN padding
     (madnz_t.mako:50, rank.mako:47-58).  Counts are exact in f32.
+
+    ``rank_radix`` resolves that many bits per round (the in-kernel
+    analogue of ``ops.rank.find_rank_float(radix_bits=...)``): each round
+    computes the integer digit ``rel = (bits - cur) >> shift`` ONCE and
+    counts against the ``2**radix - 1`` candidates from it — fewer rank
+    rounds (loop iterations, band matmuls) at more compares per round.
     """
+    if rank_radix not in (1, 2, 3, 4):
+        # 2**radix - 1 candidate counts per round: beyond 4 bits the
+        # unrolled count chain explodes (radix 8 = 255 counts/round wedged
+        # the remote AOT compiler for >30 min).
+        raise ValueError("rank_radix must be 1..4")
     zeros = _band_sum(g, jnp.sum((absdev == 0).astype(jnp.float32), axis=1, keepdims=True))
     rank2 = jnp.float32(channels) + zeros
     target = jnp.floor(rank2 * 0.5)
@@ -214,13 +226,37 @@ def _madnz_band(absdev, g, h: int, channels: int, interpret: bool):
         c = jnp.sum((absdev < cand_rows).astype(jnp.float32), axis=1, keepdims=True)
         return _band_sum(g, c)
 
-    def body(i, cur):
-        test = cur | (jnp.int32(1) << (30 - i))
-        cand = lax.bitcast_convert_type(test, jnp.float32)
-        r = count_less(cand)
-        return jnp.where(r <= target, test, cur)
+    if rank_radix == 1:
+        def body(i, cur):
+            test = cur | (jnp.int32(1) << (30 - i))
+            cand = lax.bitcast_convert_type(test, jnp.float32)
+            r = count_less(cand)
+            return jnp.where(r <= target, test, cur)
 
-    cur = lax.fori_loop(0, 31, body, jnp.zeros(target.shape, jnp.int32))
+        cur = lax.fori_loop(0, 31, body, jnp.zeros(target.shape, jnp.int32))
+    else:
+        # Positive floats (and NaN, whose pattern exceeds any finite
+        # positive) order as int32 (cf. ops/rank.py round_ invariant).
+        bits = lax.bitcast_convert_type(absdev, jnp.int32)
+        targ_f = target  # float32 counts are exact (< 2^24 elements/band)
+
+        def round_(cur, shift: int, width: int):
+            rel = (bits - cur) >> shift  # (R, W) — one read feeds all candidates
+            digit = jnp.zeros(target.shape, jnp.float32)
+            for j in range(1, (1 << width)):
+                c = _band_sum(
+                    g,
+                    jnp.sum((rel < j).astype(jnp.float32), axis=1, keepdims=True),
+                )
+                digit = digit + (c <= targ_f).astype(jnp.float32)
+            return cur | (digit.astype(jnp.int32) << shift)
+
+        cur = jnp.zeros(target.shape, jnp.int32)
+        pos = 31
+        while pos > 0:
+            width = pos % rank_radix or rank_radix
+            pos -= width
+            cur = round_(cur, pos, width)
     result = lax.bitcast_convert_type(cur, jnp.float32)
     r = count_less(result)
     below = jnp.max(jnp.where(absdev < result, absdev, 0.0), axis=1, keepdims=True)
@@ -259,7 +295,8 @@ def _threshold_sum_band(dev, noise_rows, col, channels: int, n_sigma, n_windows:
 
 def _flagger_kernel(vis_ref, *refs, width: int, n_sigma: float,
                     n_windows: int, falloff: float, flag_value: int, channels: int,
-                    h: int, flags_mode: str = "none", interpret: bool = False):
+                    h: int, flags_mode: str = "none", interpret: bool = False,
+                    rank_radix: int = 1):
     use_flags = flags_mode != "none"
     if use_flags:
         in_flags_ref, flags_ref = refs
@@ -268,12 +305,14 @@ def _flagger_kernel(vis_ref, *refs, width: int, n_sigma: float,
         (flags_ref,) = refs
     _flagger_body(vis_ref, in_flags_ref, flags_ref, width=width, n_sigma=n_sigma,
                   n_windows=n_windows, falloff=falloff, flag_value=flag_value,
-                  channels=channels, h=h, flags_mode=flags_mode, interpret=interpret)
+                  channels=channels, h=h, flags_mode=flags_mode, interpret=interpret,
+                  rank_radix=rank_radix)
 
 
 def _flagger_kernel_multi(*refs, nref: int, width: int, n_sigma: float,
                           n_windows: int, falloff: float, flag_value: int, channels: int,
-                          h: int, flags_mode: str = "none", interpret: bool = False):
+                          h: int, flags_mode: str = "none", interpret: bool = False,
+                          rank_radix: int = 1):
     """`nref` independent baseline blocks per grid step (static inner loop).
 
     Each sub-block arrives through its own input/output ref (separate
@@ -298,12 +337,13 @@ def _flagger_kernel_multi(*refs, nref: int, width: int, n_sigma: float,
         _flagger_body(vis_refs[k], in_flag_refs[k], out_refs[k], width=width,
                       n_sigma=n_sigma, n_windows=n_windows, falloff=falloff,
                       flag_value=flag_value, channels=channels, h=h,
-                      flags_mode=flags_mode, interpret=interpret)
+                      flags_mode=flags_mode, interpret=interpret,
+                      rank_radix=rank_radix)
 
 
 def _flagger_body(vis_ref, in_flags_ref, flags_ref, *, width: int, n_sigma: float,
                   n_windows: int, falloff: float, flag_value: int, channels: int,
-                  h: int, flags_mode: str, interpret: bool):
+                  h: int, flags_mode: str, interpret: bool, rank_radix: int = 1):
     use_flags = flags_mode != "none"
     # Planar-LEADING block (2, R, W): re/im each load as a full (R, W)
     # lane-aligned tile.  (A trailing (R, W, 2) block would make the
@@ -362,7 +402,7 @@ def _flagger_body(vis_ref, in_flags_ref, flags_ref, *, width: int, n_sigma: floa
     dev = jnp.where(amp == _INF, 0.0, amp - med)  # garbage on fold padding; masked below
 
     absdev = jnp.where(in_band, jnp.abs(dev), _NAN)
-    noise_rows = _madnz_band(absdev, g, h, channels, interpret)
+    noise_rows = _madnz_band(absdev, g, h, channels, interpret, rank_radix)
     dev0 = jnp.where(in_band, dev, 0.0)
     flags = _threshold_sum_band(dev0, noise_rows, col, channels, n_sigma, n_windows,
                                 falloff, interpret)
@@ -373,7 +413,7 @@ def _flagger_body(vis_ref, in_flags_ref, flags_ref, *, width: int, n_sigma: floa
 
 def _madnz_threshold_kernel(*refs, nref: int, n_sigma: float, n_windows: int,
                             falloff: float, flag_value: int, channels: int, h: int,
-                            interpret: bool):
+                            interpret: bool, rank_radix: int = 1):
     """MAD noise + SumThreshold on band-folded deviations (hybrid engine).
 
     The back half of :func:`_flagger_body`: deviations arrive from HBM
@@ -389,11 +429,11 @@ def _madnz_threshold_kernel(*refs, nref: int, n_sigma: float, n_windows: int,
         _madnz_threshold_block(dev_refs[k], out_refs[k], n_sigma=n_sigma,
                                n_windows=n_windows, falloff=falloff,
                                flag_value=flag_value, channels=channels, h=h,
-                               interpret=interpret)
+                               interpret=interpret, rank_radix=rank_radix)
 
 
 def _madnz_threshold_block(dev_ref, out_ref, *, n_sigma, n_windows, falloff,
-                           flag_value, channels, h, interpret):
+                           flag_value, channels, h, interpret, rank_radix: int = 1):
     dev = dev_ref[...]
     rows, ww = dev.shape
     col = (
@@ -403,7 +443,7 @@ def _madnz_threshold_block(dev_ref, out_ref, *, n_sigma, n_windows, falloff,
     in_band = col < channels
     g = _band_matrix(rows, h)
     absdev = jnp.where(in_band, jnp.abs(dev), _NAN)
-    noise_rows = _madnz_band(absdev, g, h, channels, interpret)
+    noise_rows = _madnz_band(absdev, g, h, channels, interpret, rank_radix)
     dev0 = jnp.where(in_band, dev, 0.0)
     flags = _threshold_sum_band(dev0, noise_rows, col, channels, n_sigma, n_windows,
                                 falloff, interpret)
@@ -413,11 +453,12 @@ def _madnz_threshold_block(dev_ref, out_ref, *, n_sigma, n_windows, falloff,
 @functools.partial(
     jax.jit,
     static_argnames=("n_sigma", "n_windows", "falloff", "flag_value", "bb", "fold",
-                     "interpret", "nref", "pipeline"),
+                     "interpret", "nref", "pipeline", "rank_radix"),
 )
 def madnz_threshold(dev_t, n_sigma: float = 11.0, n_windows: int = 4, falloff: float = 1.2,
                     flag_value: int = 1, bb: int = 4, fold: int = 1024,
-                    interpret: bool = False, nref: int = 1, pipeline: str = "grid"):
+                    interpret: bool = False, nref: int = 1, pipeline: str = "grid",
+                    rank_radix: int = 1):
     """Fused MAD-noise + SumThreshold Pallas op on (baselines, channels)
     float32 deviations; returns (baselines, channels) uint8 flags.
 
@@ -441,7 +482,7 @@ def madnz_threshold(dev_t, n_sigma: float = 11.0, n_windows: int = 4, falloff: f
         per_block = functools.partial(
             _madnz_threshold_block, n_sigma=n_sigma, n_windows=n_windows,
             falloff=falloff, flag_value=flag_value, channels=channels, h=hh,
-            interpret=interpret,
+            interpret=interpret, rank_radix=rank_radix,
         )
 
         def kernel(dev_hbm, out_hbm):
@@ -472,7 +513,7 @@ def madnz_threshold(dev_t, n_sigma: float = 11.0, n_windows: int = 4, falloff: f
     kernel = functools.partial(
         _madnz_threshold_kernel, nref=nref, n_sigma=n_sigma, n_windows=n_windows,
         falloff=falloff, flag_value=flag_value, channels=channels, h=hh,
-        interpret=interpret,
+        interpret=interpret, rank_radix=rank_radix,
     )
     kwargs = {}
     if not interpret and pltpu is not None:
@@ -531,7 +572,9 @@ class FusedFlaggerTemplate:
     @classmethod
     @_tune.autotuner(test={"bb": 4, "nref": 1, "pipeline": "grid"})
     def autotune(cls, context, width, n_windows):
-        channels, baselines = 32768, 64
+        # 256 baselines ≈ the production slab (flag_dump slices 256–288):
+        # 64 under-represented the per-block amortization and mis-ranked bb.
+        channels, baselines = 32768, 256
         rs = np.random.RandomState(seed=1)
         vis_t = jnp.asarray(rs.standard_normal((baselines, channels, 2)).astype(np.float32))
 
@@ -549,7 +592,7 @@ class FusedFlaggerTemplate:
 
             return _tune.make_measure(call)
 
-        return _tune.autotune(generate, bb=[1, 2, 4, 8], nref=[1, 2, 4],
+        return _tune.autotune(generate, bb=[1, 2, 4, 8, 16, 32], nref=[1, 2],
                               pipeline=["grid", "dma"])
 
     def __call__(self, vis_t, input_flags=None, n_sigma: float = 11.0, interpret: bool = False,
@@ -587,7 +630,7 @@ class FusedFlaggerTemplate:
     static_argnames=("slab", "width", "n_sigma", "n_windows", "falloff", "flag_value", "bb",
                      "fold", "interpret", "nref", "pipeline"),
 )
-def flag_dump(vis_t, input_flags=None, slab: int = 252, width: int = 13,
+def flag_dump(vis_t, input_flags=None, slab: int = 256, width: int = 13,
               n_sigma: float = 11.0, n_windows: int = 4, falloff: float = 1.2,
               flag_value: int = 1, bb: int = 1, fold: int = 1024, interpret: bool = False,
               channel_flags=None, nref: int = 1, pipeline: str = "grid"):
@@ -635,12 +678,12 @@ def flag_dump(vis_t, input_flags=None, slab: int = 252, width: int = 13,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "n_sigma", "n_windows", "falloff", "flag_value", "bb", "fold",
-                     "interpret", "nref"),
+                     "interpret", "nref", "rank_radix"),
 )
 def flag_transposed(vis_t, input_flags=None, width: int = 13, n_sigma: float = 11.0,
                     n_windows: int = 4, falloff: float = 1.2, flag_value: int = 1,
                     bb: int = 4, fold: int = 1024, interpret: bool = False,
-                    channel_flags=None, nref: int = 1):
+                    channel_flags=None, nref: int = 1, rank_radix: int = 1):
     """Fused flagger on baseline-major planar visibilities.
 
     Parameters
@@ -702,6 +745,7 @@ def flag_transposed(vis_t, input_flags=None, width: int = 13, n_sigma: float = 1
         h=hh,
         flags_mode=flags_mode,
         interpret=interpret,
+        rank_radix=rank_radix,
     )
     kwargs = {}
     if not interpret and pltpu is not None:
@@ -900,12 +944,12 @@ def _dma_block_loop(ins, outs, per_block, *, n_blocks: int):
 @functools.partial(
     jax.jit,
     static_argnames=("width", "n_sigma", "n_windows", "falloff", "flag_value", "bb",
-                     "fold", "interpret"),
+                     "fold", "interpret", "rank_radix"),
 )
 def flag_transposed_dma(vis_t, input_flags=None, width: int = 13, n_sigma: float = 11.0,
                         n_windows: int = 4, falloff: float = 1.2, flag_value: int = 1,
                         bb: int = 1, fold: int = 1024, interpret: bool = False,
-                        channel_flags=None):
+                        channel_flags=None, rank_radix: int = 1):
     """:func:`flag_transposed` with the in-kernel DMA pipeline.
 
     Same semantics and band-folded layout; the block loop runs INSIDE one
@@ -940,6 +984,7 @@ def flag_transposed_dma(vis_t, input_flags=None, width: int = 13, n_sigma: float
         flag_value=flag_value, channels=channels, h=hh,
         flags_mode=flags_mode,
         interpret=interpret,
+        rank_radix=rank_radix,
     )
     kernel = functools.partial(
         _flagger_kernel_dma, n_blocks=n_blocks, block_rows=block_rows, fold=fold,

@@ -44,23 +44,37 @@ def _transpose_kernel_2d(src_ref, dest_ref):
 
 
 def _transpose_kernel_3d(src_ref, dest_ref):
-    dest_ref[...] = jnp.transpose(src_ref[...], (1, 0, 2))
+    dest_ref[...] = jnp.transpose(src_ref[...], (0, 2, 1))
 
 
 @functools.partial(jax.jit, static_argnames=("tile_r", "tile_c", "interpret"))
 def _pallas_transpose(src, tile_r: int, tile_c: int, interpret: bool = False):
-    """Tiled Pallas transpose of a 2-D array (real or complex)."""
+    """Tiled Pallas transpose of a 2-D array (real, complex, or planar).
+
+    Multi-plane inputs (complex, or an explicit trailing (re, im) planar
+    axis) run with the plane axis LEADING: a trailing size-2 axis would
+    be the lane dimension (2/128 occupancy, and Mosaic rejects the
+    blocks on hardware — same trap as the fused flagger's round-1
+    layout).  Planar-trailing inputs pay one XLA moveaxis each way.
+    """
     complex_in = jnp.issubdtype(src.dtype, jnp.complexfloating)
+    planar_in = (not complex_in) and src.ndim == 3
     if complex_in:
-        src = jnp.stack([src.real, src.imag], axis=-1)  # (R, C, 2) float32
-    r, c = src.shape[0], src.shape[1]
-    grid = (pl.cdiv(r, tile_r), pl.cdiv(c, tile_c))
+        src = jnp.stack([src.real, src.imag], axis=0)  # (2, R, C) float32
+    elif planar_in:
+        src = jnp.moveaxis(src, -1, 0)  # (P, R, C)
     if src.ndim == 3:
-        in_spec = pl.BlockSpec((tile_r, tile_c, 2), lambda i, j: (i, j, 0), memory_space=_VMEM)
-        out_spec = pl.BlockSpec((tile_c, tile_r, 2), lambda i, j: (j, i, 0), memory_space=_VMEM)
-        out_shape = jax.ShapeDtypeStruct((c, r, 2), src.dtype)
+        p, r, c = src.shape
+        grid = (p, pl.cdiv(r, tile_r), pl.cdiv(c, tile_c))
+        in_spec = pl.BlockSpec((1, tile_r, tile_c), lambda k, i, j: (k, i, j),
+                               memory_space=_VMEM)
+        out_spec = pl.BlockSpec((1, tile_c, tile_r), lambda k, i, j: (k, j, i),
+                                memory_space=_VMEM)
+        out_shape = jax.ShapeDtypeStruct((p, c, r), src.dtype)
         kernel = _transpose_kernel_3d
     else:
+        r, c = src.shape
+        grid = (pl.cdiv(r, tile_r), pl.cdiv(c, tile_c))
         in_spec = pl.BlockSpec((tile_r, tile_c), lambda i, j: (i, j), memory_space=_VMEM)
         out_spec = pl.BlockSpec((tile_c, tile_r), lambda i, j: (j, i), memory_space=_VMEM)
         out_shape = jax.ShapeDtypeStruct((c, r), src.dtype)
@@ -74,7 +88,9 @@ def _pallas_transpose(src, tile_r: int, tile_c: int, interpret: bool = False):
         interpret=interpret,
     )(src)
     if complex_in:
-        out = lax.complex(out[..., 0], out[..., 1])
+        out = lax.complex(out[0], out[1])
+    elif planar_in:
+        out = jnp.moveaxis(out, 0, -1)
     return out
 
 

@@ -40,12 +40,14 @@ def benchmark1d(args, data):
     if args.width % 2 != 1:
         raise ValueError("Width must be odd")
     interpret = jax.devices()[0].platform == "cpu"
-    # Smallest bb that satisfies the sublane tiling (bb*H % 8 == 0) without
-    # exceeding the remote AOT compiler's ~64-sublane-row block ceiling:
-    # H = ceil(channels / 1024) bands per baseline; bb = 8 / gcd(H, 8).
-    import math
+    # Largest bb ≤ 8 that divides the baseline count and satisfies the
+    # sublane tiling (bb*H % 8 == 0): per-baseline in-kernel cost keeps
+    # falling to bb≈8 (scripts/fused_bb_sweep.py; the planar-leading
+    # layout removed round 1's 64-sublane-row AOT ceiling).
     hh = max(1, -(-args.channels // 1024))
-    bb = 8 // math.gcd(hh, 8)
+    bb = next((c for c in (8, 4, 2, 1)
+               if args.baselines % c == 0
+               and ((c * hh) % 8 == 0 or c == args.baselines)), 1)
     if args.engine in ("pallas", "pallas_dma"):
         from katsdpsigproc_tpu.models.rfi import pallas_flagger
 

@@ -275,3 +275,28 @@ def test_flag_dump_dma_pipeline_slabs():
                                               pipeline="dma"))
     assert ref.any()
     np.testing.assert_array_equal(ref, got)
+
+
+@pytest.mark.parametrize("radix", [2, 3, 4])
+def test_rank_radix_matches_binary(radix):
+    """The in-kernel multi-bit rank search (rank_radix > 1) is bit-identical
+    to the 31-round binary search, including NaN padding and ties."""
+    vis, _, _ = rfi_test_data(shape=(300, 16), seed=9)
+    vis_t = jnp.asarray(np.moveaxis(rfi_device.to_planar(vis), 0, 1))
+    base = np.asarray(pallas_flagger.flag_transposed(
+        vis_t, width=13, n_sigma=11.0, bb=8, interpret=True))
+    out = np.asarray(pallas_flagger.flag_transposed(
+        vis_t, width=13, n_sigma=11.0, bb=8, interpret=True, rank_radix=radix))
+    np.testing.assert_equal(out, base)
+    dev = jnp.asarray(np.abs(np.asarray(vis)).T.astype(np.float32))
+    base_m = np.asarray(pallas_flagger.madnz_threshold(dev, bb=8, interpret=True))
+    out_m = np.asarray(pallas_flagger.madnz_threshold(
+        dev, bb=8, interpret=True, rank_radix=radix))
+    np.testing.assert_equal(out_m, base_m)
+
+
+def test_rank_radix_validation():
+    vis, _, _ = rfi_test_data(shape=(128, 8), seed=10)
+    vis_t = jnp.asarray(np.moveaxis(rfi_device.to_planar(vis), 0, 1))
+    with pytest.raises(ValueError, match="rank_radix"):
+        pallas_flagger.flag_transposed(vis_t, bb=8, interpret=True, rank_radix=8)

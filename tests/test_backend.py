@@ -43,3 +43,21 @@ def test_command_queue_fixture(command_queue, context):
     """Reference parity: the command_queue fixture is the placement context
     (queues are subsumed by XLA async dispatch)."""
     assert command_queue is context
+
+
+def test_create_some_context_interactive(monkeypatch):
+    """Reference parity (accel.py:349-361): interactive + tty + multiple
+    candidates prompts for an index; invalid selections raise RuntimeError."""
+    import sys
+
+    devs = backend.all_devices()
+    if len(devs) < 2:
+        pytest.skip("needs >= 2 devices")
+    monkeypatch.setattr(sys.stdin, "isatty", lambda: True)
+    monkeypatch.setattr("builtins.input", lambda prompt="": "1")
+    ctx = backend.create_some_context(interactive=True, devices=devs)
+    assert ctx.device == devs[1]
+    for bad in ("-1", "notanumber", str(len(devs))):
+        monkeypatch.setattr("builtins.input", lambda prompt="", b=bad: b)
+        with pytest.raises(RuntimeError):
+            backend.create_some_context(interactive=True, devices=devs)

@@ -64,6 +64,14 @@ class TestTranspose:
         out = transpose._pallas_transpose(jnp.asarray(src), 8, 128, interpret=True)
         np.testing.assert_equal(np.asarray(out), src.T)
 
+    def test_pallas_interpret_planar(self, ctx):
+        """Explicit planar (R, C, 2) float32 pairs (the no-complex-dtype
+        TPU layout): transposed as (C, R, 2) via the plane-leading grid."""
+        rs = np.random.RandomState(seed=2)
+        src = rs.uniform(0, 100, (48, 260, 2)).astype(np.float32)
+        out = transpose._pallas_transpose(jnp.asarray(src), 8, 128, interpret=True)
+        np.testing.assert_equal(np.asarray(out), np.swapaxes(src, 0, 1))
+
 
 class TestMaskedSum:
     @pytest.mark.parametrize("use_amplitudes", [False, True])
