@@ -180,3 +180,72 @@ def make_sharded_flagger(
         return cache[key](vis)
 
     return flagger
+
+
+def make_sharded_fused_flagger(
+    mesh,
+    width: int = 13,
+    n_sigma: float = 11.0,
+    slab: int = 256,
+    bb: int = 8,
+    n_windows: int = 4,
+    threshold_falloff: float = 1.2,
+    flag_value: int = 1,
+    pipeline: str = "grid",
+    interpret: bool = False,
+    axis_name: Optional[str] = None,
+):
+    """The fused single-kernel Pallas flagger, sharded over baselines.
+
+    Each device runs :func:`..models.rfi.pallas_flagger.flag_dump` — the
+    fastest single-chip engine (BASELINE_RESULTS.md round 2) — on its own
+    baseline shard: pure data parallelism, ZERO collectives, so scaling
+    is embarrassing by construction.  The channel axis stays unsharded
+    (the kernel's band-folded layout wants the whole band VMEM-resident
+    per block); for channel-sharded flagging use
+    :func:`make_sharded_flagger`, whose per-stage XLA path does halo
+    exchanges and collective rank searches.
+
+    Returns ``fn(vis_t[, input_flags])`` on baseline-major planar
+    ``(baselines, channels, 2)`` float32 input (the fused engine's native
+    layout), producing ``(baselines, channels)`` uint8 flags with the
+    same baseline sharding.  The local baseline count on every device
+    must divide by ``bb``.
+    """
+    from ..models.rfi import pallas_flagger
+
+    axis = axis_name or BASELINE_AXIS
+    if axis not in mesh.axis_names:
+        raise ValueError(f"mesh must name a {axis!r} axis")
+
+    kw = dict(slab=slab, width=width, n_sigma=n_sigma, n_windows=n_windows,
+              falloff=threshold_falloff, flag_value=flag_value, bb=bb,
+              pipeline=pipeline, interpret=interpret)
+
+    def local(vis_t, input_flags=None):
+        return pallas_flagger.flag_dump(vis_t, input_flags, **kw)
+
+    vis_spec = P(axis, None, None)
+    flags_spec = P(axis, None)
+
+    plain = jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(vis_spec,), out_specs=flags_spec,
+        check_rep=False,
+    ))
+    with_flags = jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(vis_spec, flags_spec), out_specs=flags_spec,
+        check_rep=False,
+    ))
+
+    def flagger(vis_t, input_flags=None):
+        n_shards = mesh.shape[axis]
+        if vis_t.shape[0] % (n_shards * bb):
+            raise ValueError(
+                f"baselines ({vis_t.shape[0]}) must divide by shards*bb "
+                f"({n_shards}*{bb})"
+            )
+        if input_flags is not None:
+            return with_flags(vis_t, input_flags)
+        return plain(vis_t)
+
+    return flagger

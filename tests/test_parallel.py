@@ -259,3 +259,29 @@ class TestShardedTwodflag:
         out = flagger.get_flags_sharded(data, flags, mesh_1d)
         assert out.shape == expected.shape
         np.testing.assert_array_equal(expected, out)
+
+
+class TestShardedFusedFlagger:
+    def test_matches_host_oracle(self, mesh_1d):
+        """The fused Pallas kernel sharded over baselines (pure DP, zero
+        collectives) matches the host oracle mask-for-mask."""
+        vis, _, input_flags = rfi_test_data(shape=(256, 32), seed=31)
+        vis_t = jnp.asarray(np.moveaxis(rfi_device.to_planar(vis), 0, 1).copy())
+        fn = pflagger.make_sharded_fused_flagger(
+            mesh_1d, width=13, n_sigma=11.0, bb=4, interpret=True)
+        out = np.asarray(fn(vis_t))
+        host_flagger = rfi_host.FlaggerHost(
+            rfi_host.BackgroundMedianFilterHost(13),
+            rfi_host.NoiseEstMADHost(),
+            rfi_host.ThresholdSumHost(11.0),
+        )
+        np.testing.assert_equal(out.T, host_flagger(vis))
+        # FULL-mode prior flags ride the same sharding
+        f_t = jnp.asarray(input_flags.T.astype(np.uint8))
+        out_f = np.asarray(fn(vis_t, f_t))
+        np.testing.assert_equal(out_f.T, host_flagger(vis, input_flags))
+
+    def test_validates_divisibility(self, mesh_1d):
+        fn = pflagger.make_sharded_fused_flagger(mesh_1d, bb=4, interpret=True)
+        with pytest.raises(ValueError, match="divide"):
+            fn(jnp.zeros((28, 256, 2), jnp.float32))
