@@ -38,6 +38,107 @@ class Direction(enum.Enum):
     OUT = "out"
 
 
+class Dimension:
+    """Padding/alignment requirement for one axis of a :class:`Slot`.
+
+    The reference's ``Dimension`` (accel.py:1115-1294) propagates padding
+    requirements between composed kernels through union-find linking.  On
+    TPU, XLA owns the *physical* layout, so what survives is the
+    reference's user-visible contract: operations declare requirements
+    (``min_padded_round`` / ``min_padded_size``, power-of-2 ``alignment``,
+    ``exact``), composition LINKS the dimensions of slots that share a
+    buffer — merging requirements and failing fast on unsatisfiable
+    combinations — and binding a buffer freezes the requirement.  The
+    GPU stride hint (``align_dtype`` / ``ALIGN_BYTES``) has no analogue:
+    the lane/sublane tile contract in :mod:`..utils.shapes` plays that
+    role and is applied by :attr:`Slot.padded_shape`.
+    """
+
+    @staticmethod
+    def _is_power2(value: int) -> bool:
+        return value > 0 and (value & (value - 1)) == 0
+
+    def __init__(self, size: int, min_padded_round: Optional[int] = None,
+                 min_padded_size: Optional[int] = None, alignment: int = 1,
+                 exact: bool = False) -> None:
+        if min_padded_size is None:
+            if min_padded_round is not None:
+                min_padded_size = -(-size // min_padded_round) * min_padded_round
+            else:
+                min_padded_size = size
+        if not self._is_power2(alignment):
+            raise ValueError("alignment is not a power of 2")
+        if min_padded_size < size:
+            raise ValueError("padded size is less than size")
+        self._parent: Optional["Dimension"] = None
+        self._size = int(size)
+        self._min_padded_size = int(min_padded_size)
+        self._alignment = int(alignment)
+        self._exact = bool(exact)
+        self._frozen = False
+
+    def _root(self) -> "Dimension":
+        if self._parent is None:
+            return self
+        self._parent = self._parent._root()  # path compression
+        return self._parent
+
+    @property
+    def size(self) -> int:
+        return self._root()._size
+
+    @property
+    def exact(self) -> bool:
+        return self._root()._exact
+
+    @property
+    def frozen(self) -> bool:
+        return self._root()._frozen
+
+    def required_padded_size(self) -> int:
+        """Smallest padded size satisfying this requirement
+        (reference accel.py:1224-1232, minus the GPU stride hint)."""
+        root = self._root()
+        a = root._alignment
+        return -(-root._min_padded_size // a) * a
+
+    def valid(self, padded_size: int) -> bool:
+        """Whether `padded_size` satisfies the requirement (accel.py:1234-1240)."""
+        root = self._root()
+        if root._exact:
+            return padded_size == root.required_padded_size()
+        return (padded_size >= root._min_padded_size
+                and padded_size % root._alignment == 0)
+
+    def link(self, other: "Dimension") -> None:
+        """Share one requirement between `self` and `other`
+        (union-find merge; reference accel.py:1256-1290).
+
+        Raises ``ValueError`` if either is frozen, the sizes differ, or an
+        ``exact`` requirement cannot satisfy the other's constraints.
+        """
+        root1, root2 = self._root(), other._root()
+        if root1 is root2:
+            return
+        if root1._frozen or root2._frozen:
+            raise ValueError("cannot link frozen requirements")
+        if root1._size != root2._size:
+            raise ValueError("sizes are incompatible")
+        for exact_root, other_root in ((root1, root2), (root2, root1)):
+            if exact_root._exact and not other_root.valid(
+                    exact_root.required_padded_size()):
+                raise ValueError("linked requirement is unsatisfiable")
+        root1._min_padded_size = max(root1._min_padded_size, root2._min_padded_size)
+        root1._alignment = max(root1._alignment, root2._alignment)
+        root1._exact = root1._exact or root2._exact
+        root2._parent = root1
+
+    def freeze(self) -> None:
+        """Prevent further modification (done on buffer bind,
+        reference accel.py:1292-1294 / 1444-1450)."""
+        self._root()._frozen = True
+
+
 class Slot:
     """A named buffer requirement on an operation.
 
@@ -55,11 +156,23 @@ class Slot:
         here it is explicit so rank/reduction kernels can rely on it.
     """
 
-    def __init__(self, shape: Sequence[int], dtype, direction: Direction, pad_value=0):
+    def __init__(self, shape: Sequence[int], dtype, direction: Direction, pad_value=0,
+                 dimensions: Optional[Sequence[Dimension]] = None):
         self.shape = tuple(int(s) for s in shape)
         self.dtype = jnp.dtype(dtype)
         self.direction = direction
         self.pad_value = pad_value
+        if dimensions is None:
+            dimensions = [Dimension(s) for s in self.shape]
+        else:
+            dimensions = list(dimensions)
+            if len(dimensions) != len(self.shape):
+                raise ValueError("wrong number of dimensions")
+            for s, d in zip(self.shape, dimensions):
+                if d.size != s:
+                    raise ValueError(
+                        f"dimension size {d.size} does not match shape entry {s}")
+        self.dimensions: Tuple[Dimension, ...] = tuple(dimensions)
 
     @property
     def struct(self) -> jax.ShapeDtypeStruct:
@@ -67,7 +180,14 @@ class Slot:
 
     @property
     def padded_shape(self) -> Tuple[int, ...]:
-        return shapes_util.padded_shape(self.shape, self.dtype)
+        """Per-axis max of the TPU tile contract and any linked
+        :class:`Dimension` requirements (exact dimensions pin the size)."""
+        base = shapes_util.padded_shape(self.shape, self.dtype)
+        out = []
+        for b, d in zip(base, self.dimensions):
+            req = d.required_padded_size()
+            out.append(req if d.exact else max(b, req))
+        return tuple(out)
 
     def required_bytes(self) -> int:
         n = 1
@@ -144,11 +264,18 @@ class Operation:
         return self._jitted
 
     def bind(self, **arrays) -> None:
-        """Attach arrays to slots (reference: accel.py:1676-1690)."""
+        """Attach arrays to slots (reference: accel.py:1676-1690).
+
+        Binding freezes the slot's dimensions, as the reference does
+        (accel.py:1444-1450): requirement changes after a buffer exists
+        would invalidate it.
+        """
         for name, array in arrays.items():
             if name not in self.slots:
                 raise KeyError(f"no slot named {name!r}")
             self.slots[name].validate(array)
+            for d in self.slots[name].dimensions:
+                d.freeze()
             self._bound[name] = array
 
     def ensure_all_bound(self) -> None:
@@ -235,17 +362,20 @@ class OperationSequence(Operation):
                 )
                 if slot.direction == Direction.IN and seq_name in produced:
                     # Reading a buffer produced by an earlier child: shapes
-                    # must agree (CompoundIOSlot contract, accel.py:1544-1546).
+                    # must agree (CompoundIOSlot contract, accel.py:1544-1546)
+                    # and the padding requirements merge (Dimension.link).
                     existing = self.slots[seq_name]
                     if existing.shape != slot.shape or existing.dtype != slot.dtype:
                         raise ValueError(
                             f"compound slot {seq_name!r} mismatch: "
                             f"{existing.shape}/{existing.dtype} vs {slot.shape}/{slot.dtype}"
                         )
+                    self._link_dims(seq_name, existing, slot)
                 elif slot.direction == Direction.IN:
                     if seq_name not in self.slots:
                         self.slots[seq_name] = Slot(
-                            slot.shape, slot.dtype, Direction.IN, slot.pad_value
+                            slot.shape, slot.dtype, Direction.IN, slot.pad_value,
+                            dimensions=slot.dimensions,
                         )
                     else:
                         # Shape/dtype agreement across a compound
@@ -256,9 +386,27 @@ class OperationSequence(Operation):
                                 f"compound slot {seq_name!r} mismatch: "
                                 f"{existing.shape}/{existing.dtype} vs {slot.shape}/{slot.dtype}"
                             )
+                        self._link_dims(seq_name, existing, slot)
                 elif slot.direction == Direction.OUT:
                     produced.add(seq_name)
-                    self.slots[seq_name] = Slot(slot.shape, slot.dtype, Direction.OUT, slot.pad_value)
+                    if seq_name in self.slots:
+                        self._link_dims(seq_name, self.slots[seq_name], slot)
+                    self.slots[seq_name] = Slot(
+                        slot.shape, slot.dtype, Direction.OUT, slot.pad_value,
+                        dimensions=slot.dimensions,
+                    )
+
+    @staticmethod
+    def _link_dims(seq_name: str, a: "Slot", b: "Slot") -> None:
+        """Union-find merge of two compound members' axis requirements
+        (the CompoundIOSlot → Dimension.link chain, accel.py:1544-1546 →
+        1256-1290); unsatisfiable combinations fail at composition time."""
+        for axis, (da, db) in enumerate(zip(a.dimensions, b.dimensions)):
+            try:
+                da.link(db)
+            except ValueError as exc:
+                raise ValueError(
+                    f"compound slot {seq_name!r} axis {axis}: {exc}") from None
 
     def _run(self, **inputs):
         env: Dict[str, Any] = dict(inputs)

@@ -187,3 +187,97 @@ def test_as_output():
 
     arr = jnp.zeros(3)
     assert ops_base.as_output("dest", arr) == {"dest": arr}
+
+
+class TestDimension:
+    """Reference Dimension contract (accel.py:1115-1294) — requirement
+    declaration, union-find linking, conflict detection, freeze-on-bind."""
+
+    def test_required_padded_size(self):
+        d = base.Dimension(100, min_padded_round=32)
+        assert d.required_padded_size() == 128
+        d2 = base.Dimension(100, min_padded_size=130, alignment=8)
+        assert d2.required_padded_size() == 136
+        assert d2.valid(136) and d2.valid(144) and not d2.valid(130)
+
+    def test_exact(self):
+        d = base.Dimension(96, exact=True)
+        assert d.valid(96) and not d.valid(128)
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="power of 2"):
+            base.Dimension(8, alignment=3)
+        with pytest.raises(ValueError, match="less than size"):
+            base.Dimension(8, min_padded_size=4)
+
+    def test_link_merges_requirements(self):
+        a = base.Dimension(100, min_padded_size=120)
+        b = base.Dimension(100, alignment=16)
+        a.link(b)
+        # Both now expose the union of the requirements.
+        assert a.required_padded_size() == 128  # 120 rounded to 16
+        assert b.required_padded_size() == 128
+        # Transitive linking through the union-find roots
+        c = base.Dimension(100, min_padded_size=200)
+        b.link(c)
+        assert a.required_padded_size() == 208
+
+    def test_link_size_mismatch(self):
+        with pytest.raises(ValueError, match="incompatible"):
+            base.Dimension(100).link(base.Dimension(101))
+
+    def test_link_exact_conflict(self):
+        exact = base.Dimension(96, exact=True)
+        needs_pad = base.Dimension(96, min_padded_size=128)
+        with pytest.raises(ValueError, match="unsatisfiable"):
+            exact.link(needs_pad)
+
+    def test_freeze_blocks_linking(self):
+        a = base.Dimension(64)
+        a.freeze()
+        with pytest.raises(ValueError, match="frozen"):
+            a.link(base.Dimension(64))
+
+    def test_slot_padded_shape_honours_dimensions(self):
+        dims = [base.Dimension(4, min_padded_size=32),
+                base.Dimension(8, min_padded_size=500)]
+        slot = base.Slot((4, 8), jnp.float32, base.Direction.IN, dimensions=dims)
+        # tile contract gives (8, 128); dimensions raise that to (32, 500→...)
+        assert slot.padded_shape == (32, 500)
+        plain = base.Slot((4, 8), jnp.float32, base.Direction.IN)
+        assert plain.padded_shape == (8, 128)
+
+    def test_sequence_links_compound_dimensions(self):
+        """Composition merges padding requirements across children and
+        rejects unsatisfiable combinations at construction time."""
+        class _WithDims(base.Operation):
+            def __init__(self, direction, **dim_kw):
+                super().__init__()
+                dims = [base.Dimension(4), base.Dimension(8, **dim_kw)]
+                self.slots["x"] = base.Slot((4, 8), jnp.float32, direction,
+                                            dimensions=dims)
+
+            def _run(self, **inputs):
+                if "x" in inputs:
+                    return {}
+                return {"x": jnp.zeros((4, 8), jnp.float32)}
+
+        prod = _WithDims(base.Direction.OUT, min_padded_size=192)
+        cons = _WithDims(base.Direction.IN, alignment=128)
+        seq = base.OperationSequence(
+            [("p", prod), ("c", cons)], compounds={"x": ["p:x", "c:x"]})
+        # 192 rounded up to alignment 128 → 256 on the shared axis
+        assert seq.slots["x"].padded_shape[1] == 256
+
+        exact = _WithDims(base.Direction.IN, exact=True)
+        with pytest.raises(ValueError, match="axis 1"):
+            base.OperationSequence(
+                [("p", _WithDims(base.Direction.OUT, min_padded_size=192)),
+                 ("c", exact)],
+                compounds={"x": ["p:x", "c:x"]})
+
+    def test_bind_freezes_dimensions(self):
+        op = _Scale((4, 8), 2.0)
+        op.bind(src=jnp.ones((4, 8), jnp.float32))
+        with pytest.raises(ValueError, match="frozen"):
+            op.slots["src"].dimensions[0].link(base.Dimension(4))
