@@ -236,11 +236,16 @@ def masked_gaussian_filter(data, flags, sigma, passes: int = 4):
     """Gaussian filter ignoring flagged values (reference twodflag.py:359-400).
 
     Positions whose Gaussian support contains no unflagged data become NaN.
+    The data and weight planes are filtered as ONE stacked (2, ...) array —
+    half the window-sum ops, bitwise-identical per plane (the stack axis
+    gets radius 0).
     """
     weight = (~flags).astype(data.dtype)
     filled = jnp.where(flags, 0.0, data)
-    fw = _box_gaussian_filter(weight, sigma, passes)
-    fd = _box_gaussian_filter(filled, sigma, passes)
+    both = jnp.stack([filled, weight])
+    sigma3 = np.concatenate([[0.0], np.asarray(sigma, np.float64)])
+    fboth = _box_gaussian_filter(both, sigma3, passes)
+    fd, fw = fboth[0], fboth[1]
     return jnp.where(fw == 0, jnp.nan, fd / fw)
 
 
