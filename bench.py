@@ -328,12 +328,6 @@ def main():
         pallas_kw=dict(bb=args.bb, interpret=interpret, pipeline="dma"),
     )
 
-    def pallas_fn(vis_t):
-        return pallas_flagger.flag_dump(
-            vis_t, slab=args.slab, width=args.width, n_sigma=11.0, bb=args.bb,
-            nref=args.nref, interpret=interpret,
-        )
-
     # ---- parity check on a subsampled block (vs host oracle) -------------
     # An engine that fails to RUN (e.g. a Mosaic compile rejection on this
     # backend) is disabled and recorded in the JSON, so one broken engine
@@ -390,16 +384,15 @@ def main():
     planar = rfi_device.to_planar(vis_np)
     timer = _accum_timer(args.iters)
 
-    results = {}  # name -> (seconds-per-dump, extrapolated?)
-    # The fused Pallas engines time the whole dump END-TO-END through
-    # flag_dump (one jit: a lax.scan of slab kernels) — round 1 had to
-    # extrapolate from one slab because the trailing-lane layout wedged
-    # the remote AOT allocator on the scanned program; the planar-leading
-    # layout compiles.
+    results = {}  # name -> seconds-per-dump, all END-TO-END
+    # The fused Pallas engines time the whole dump through flag_dump (one
+    # jit: a lax.scan of slab kernels) — round 1 had to extrapolate from
+    # one slab because the trailing-lane layout wedged the remote AOT
+    # allocator on the scanned program; the planar-leading layout compiles.
     slab = min(args.slab, args.baselines)
     vis_t_full = jnp.asarray(np.moveaxis(planar, 0, 1).copy())
     timing_runs = [
-        ("pallas", False, lambda: timer(
+        ("pallas", lambda: timer(
             lambda v: pallas_flagger.flag_dump(
                 v, slab=slab, width=args.width, n_sigma=11.0, bb=args.bb,
                 nref=args.nref, interpret=interpret,
@@ -408,7 +401,7 @@ def main():
         )),
         # One grid step per slab: the in-kernel DMA block loop pays the
         # per-grid-step dispatch overhead once instead of once per block.
-        ("pallas_dma", False, lambda: timer(
+        ("pallas_dma", lambda: timer(
             lambda v: pallas_flagger.flag_dump(
                 v, slab=slab, width=args.width, n_sigma=11.0, bb=args.bb,
                 pipeline="dma", interpret=interpret,
@@ -418,28 +411,26 @@ def main():
     ]
     vis_xla = jnp.asarray(planar)
     timing_runs += [
-        ("hybrid", False, lambda: timer(hybrid_fn, vis_xla)),
-        ("hybrid_dma", False, lambda: timer(hybrid_dma_fn, vis_xla)),
-        ("xla", False, lambda: timer(xla_fn, vis_xla)),
+        ("hybrid", lambda: timer(hybrid_fn, vis_xla)),
+        ("hybrid_dma", lambda: timer(hybrid_dma_fn, vis_xla)),
+        ("xla", lambda: timer(xla_fn, vis_xla)),
     ]
-    for name, extrapolated, run in timing_runs:
+    for name, run in timing_runs:
         if name in failed:
             log(f"engine[{name}]: skipped (failed parity run)")
             continue
         try:
-            results[name] = (run(), extrapolated)
+            results[name] = run()
         except Exception as exc:  # noqa: BLE001
             msg = str(exc).splitlines()[0][:200] if str(exc) else type(exc).__name__
             log(f"{name} engine failed: {msg}")
             failed[name] = msg
-    for name, (t, extrapolated) in results.items():
-        tag = " (extrapolated from one slab)" if extrapolated else ""
-        log(f"engine[{name}]: {t * 1e3:.3f} ms ({n_vis / t / 1e9:.2f} Gvis/s){tag}")
-    measured = {k: t for k, (t, extrapolated) in results.items() if not extrapolated}
-    if not measured:
-        raise SystemExit("no end-to-end engine produced a timing")
-    best_name = min(measured, key=measured.get)
-    dt = measured[best_name]
+    for name, t in results.items():
+        log(f"engine[{name}]: {t * 1e3:.3f} ms ({n_vis / t / 1e9:.2f} Gvis/s)")
+    if not results:
+        raise SystemExit("no engine produced a timing")
+    best_name = min(results, key=results.get)
+    dt = results[best_name]
     value = n_vis / dt
     roofline = hbm * 1e9 / BYTES_PER_VIS
     vs_baseline = value / (TARGET_FRACTION * roofline)
@@ -450,12 +441,8 @@ def main():
         f"({value / roofline * 100:.1f}% of speed of light)"
     )
     engines = {
-        name: {
-            "seconds_per_dump": t,
-            "vis_per_second": n_vis / t,
-            "extrapolated": extrapolated,
-        }
-        for name, (t, extrapolated) in results.items()
+        name: {"seconds_per_dump": t, "vis_per_second": n_vis / t}
+        for name, t in results.items()
     }
     for name, msg in failed.items():
         engines[name] = {"failed": msg}

@@ -222,6 +222,10 @@ class ThresholdSumHost(AbstractThresholdHost):
         for window, scale in zip(self.windows, self.threshold_scales):
             if window > channels:
                 break
+            # np.float32(threshold1 * scale), the reference's expression
+            # (host.py:235): with the f32 threshold1 __call__ passes, the
+            # product stays f32 (weak python-float promotion), matching
+            # every device path's f32 chain bit for bit.
             threshold = (threshold1 * scale).astype(np.float32)
             np.copyto(dev, threshold[np.newaxis, :], where=flags)
             n_out = channels - window + 1
@@ -234,7 +238,8 @@ class ThresholdSumHost(AbstractThresholdHost):
         return flags
 
     def __call__(self, deviations: np.ndarray, noise: np.ndarray) -> np.ndarray:
-        flags = self._apply(deviations, self.n_sigma * np.asarray(noise, dtype=np.float64))
+        threshold1 = np.float32(self.n_sigma) * np.asarray(noise, dtype=np.float32)
+        flags = self._apply(deviations, threshold1)
         return np.where(flags, np.uint8(self.flag_value), np.uint8(0))
 
 

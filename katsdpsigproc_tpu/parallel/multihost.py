@@ -37,8 +37,11 @@ def initialize(
     except RuntimeError as exc:
         # Only double-initialization is benign (idempotency); a genuine
         # bring-up failure (bad coordinator, timeout) must fail fast —
-        # the reference-scope failure model (SURVEY.md §5).
-        if "already initialized" in str(exc).lower():
+        # the reference-scope failure model (SURVEY.md §5).  Message
+        # variants across jax versions: "already initialized" and
+        # "should only be called once".
+        msg = str(exc).lower()
+        if "already initialized" in msg or "only be called once" in msg:
             _logger.debug("jax.distributed.initialize skipped: %s", exc)
         else:
             raise

@@ -142,3 +142,26 @@ class TestFlaggerHost:
         flags = flagger(vis)
         # SumThreshold smears flags; every spike must be found.
         assert (flags[spikes.astype(bool)] == 1).all()
+
+
+def test_threshold_sum_f32_threshold_chain():
+    """Thresholds must follow the f32 chain fl32(fl32(n_sigma*noise)*scale)
+    used by the reference host and every device path.  A float64 product
+    rounded once differs by 1 ulp on ~1/3 of noise values, and a window
+    sum landing exactly on the device threshold then flips the mask
+    (found by review; repro: noise=0.4001572, two equal deviations)."""
+    import jax.numpy as jnp
+
+    from katsdpsigproc_tpu.models.rfi import device as rfi_device
+
+    noise = np.float32(0.4001572)
+    n_sigma = 11.0
+    th = host.ThresholdSumHost(n_sigma, n_windows=2)
+    # Device threshold for window 2 (f32 chain)
+    t_dev = np.float32(np.float32(np.float32(n_sigma) * noise) * np.float32(1.2 ** -1))
+    deviations = np.zeros((8, 1), np.float32)
+    deviations[3:5, 0] = t_dev  # mean of window 2 exactly at the threshold
+    got_host = th(deviations, np.asarray([noise], np.float32))
+    got_dev = np.asarray(rfi_device.threshold_sum(
+        jnp.asarray(deviations.T), jnp.asarray([noise]), n_sigma, 2))
+    np.testing.assert_array_equal(got_host, got_dev.T)
