@@ -385,31 +385,31 @@ def main():
     timer = _accum_timer(args.iters)
 
     results = {}  # name -> seconds-per-dump, all END-TO-END
-    # The fused Pallas engines time the whole dump through flag_dump (one
-    # jit: a lax.scan of slab kernels) — round 1 had to extrapolate from
-    # one slab because the trailing-lane layout wedged the remote AOT
-    # allocator on the scanned program; the planar-leading layout compiles.
+    # Every engine ingests the same channel-major planar dump.  The fused
+    # Pallas engines corner-turn INSIDE the timed jit (measured free: XLA
+    # fuses the transpose into the slab-producer copies — 14.56 ms with
+    # vs 14.57 ms without, BASELINE_RESULTS.md round 2), so the
+    # comparison against the transpose-free XLA engine is apples-to-apples.
     slab = min(args.slab, args.baselines)
-    vis_t_full = jnp.asarray(np.moveaxis(planar, 0, 1).copy())
+    vis_xla = jnp.asarray(planar)
     timing_runs = [
         ("pallas", lambda: timer(
             lambda v: pallas_flagger.flag_dump(
-                v, slab=slab, width=args.width, n_sigma=11.0, bb=args.bb,
-                nref=args.nref, interpret=interpret,
+                jnp.swapaxes(v, 0, 1), slab=slab, width=args.width,
+                n_sigma=11.0, bb=args.bb, nref=args.nref, interpret=interpret,
             ),
-            vis_t_full,
+            vis_xla,
         )),
         # One grid step per slab: the in-kernel DMA block loop pays the
         # per-grid-step dispatch overhead once instead of once per block.
         ("pallas_dma", lambda: timer(
             lambda v: pallas_flagger.flag_dump(
-                v, slab=slab, width=args.width, n_sigma=11.0, bb=args.bb,
-                pipeline="dma", interpret=interpret,
+                jnp.swapaxes(v, 0, 1), slab=slab, width=args.width,
+                n_sigma=11.0, bb=args.bb, pipeline="dma", interpret=interpret,
             ),
-            vis_t_full,
+            vis_xla,
         )),
     ]
-    vis_xla = jnp.asarray(planar)
     timing_runs += [
         ("hybrid", lambda: timer(hybrid_fn, vis_xla)),
         ("hybrid_dma", lambda: timer(hybrid_dma_fn, vis_xla)),
