@@ -123,11 +123,18 @@ def bench_config2(args):
     x = jnp.asarray(data)
     xc = jnp.asarray(planar)
     xm = jnp.asarray(mask)
-    # Both bodies are µs-scale: the marginal (tn - t1) window needs many
-    # back-to-back iterations to clear tunnel dispatch jitter.
+    # Both bodies are µs-scale: the marginal (tn - t1) window must be far
+    # larger than the few-ms tunnel dispatch jitter, or the subtraction
+    # goes negative (maskedsum "measured" 52 Pelem/s once at iters=200).
     timer = _accum_timer(max(args.iters, 200))
-    dt_pct = timer(pct.percentile5, x)
-    dt_ms = timer(ms.maskedsum, xc, xm)
+    timer_us = _accum_timer(max(args.iters, 2000))
+    # Tuned engine (rank / sort / pallas) from the shipped table.
+    from katsdpsigproc_tpu.utils import backend as _b
+
+    tmpl = pct.Percentile5Template(_b.create_some_context(), cols, True)
+    log(f"config2 percentile engine: {tmpl.engine}")
+    dt_pct = timer(lambda a: pct.percentile5(a, engine=tmpl.engine), x)
+    dt_ms = timer_us(ms.maskedsum, xc, xm)
     n = rows * cols
     log(f"config2 percentile5 {rows}x{cols}: {dt_pct * 1e3:.3f} ms "
         f"({n / dt_pct / 1e9:.2f} Gelem/s)")

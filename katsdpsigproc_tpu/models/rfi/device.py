@@ -569,7 +569,7 @@ class BackgroundMedianFilterDeviceTemplate(AbstractBackgroundDeviceTemplate):
         def generate(engine):
             fn = jax.jit(functools.partial(masked_median_filter, width=width, engine=engine))
             jax.block_until_ready(fn(amp))  # fail now if the engine can't compile
-            return tune.make_measure(lambda: fn(amp))
+            return tune.make_measure(fn, amp)
 
         return tune.autotune(generate, engine=["network", "count"])
 
@@ -687,7 +687,7 @@ def _madnz_radix_search(axis: int, channels: int, baselines: int = 128) -> Mappi
     def generate(radix_bits):
         fn = jax.jit(functools.partial(madnz, axis=axis, radix_bits=radix_bits))
         jax.block_until_ready(fn(dev))
-        return tune.make_measure(lambda: fn(dev))
+        return tune.make_measure(fn, dev)
 
     return tune.autotune(generate, radix_bits=[1, 2, 4, 8])
 

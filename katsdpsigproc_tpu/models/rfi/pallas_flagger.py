@@ -581,16 +581,16 @@ class FusedFlaggerTemplate:
         def generate(bb, nref, pipeline):
             if pipeline == "dma" and nref != 1:
                 raise ValueError("config skipped: nref>1 applies only to pipeline='grid'")
-            def call():
+            def call(v):
                 if pipeline == "dma":
                     return flag_transposed_dma(
-                        vis_t, width=width, n_windows=n_windows, bb=bb
+                        v, width=width, n_windows=n_windows, bb=bb
                     )
                 return flag_transposed(
-                    vis_t, width=width, n_windows=n_windows, bb=bb, nref=nref
+                    v, width=width, n_windows=n_windows, bb=bb, nref=nref
                 )
 
-            return _tune.make_measure(call)
+            return _tune.make_measure(call, vis_t)
 
         return _tune.autotune(generate, bb=[1, 2, 4, 8, 16, 32], nref=[1, 2],
                               pipeline=["grid", "dma"])

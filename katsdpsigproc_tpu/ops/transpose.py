@@ -135,7 +135,7 @@ class TransposeTemplate:
                 raise RuntimeError("tile exceeds VMEM budget")
             tmpl = cls(context, dtype, tuning={"engine": engine, "tile_r": tile_r, "tile_c": tile_c})
             op = tmpl.instantiate(None, shape)
-            return tune.make_measure(lambda: op(src=data)["dest"])
+            return tune.make_measure(lambda d: op(src=d)["dest"], data)
 
         return tune.autotune(
             generate,

@@ -61,13 +61,27 @@ def time_scan(fn: Callable, args, iters: int = 20, warmup: bool = True,
     args = tuple(args)
 
     def make(length):
+        # Complex dtypes: the axon backend has no complex COMPUTE, so the
+        # carry injection and the output reduction go through a float32
+        # bitcast view (bitcasts are free and always supported).
+        def inject(x, carry):
+            if jnp.issubdtype(x.dtype, jnp.complexfloating):
+                as_f32 = lax.bitcast_convert_type(x, jnp.float32)
+                return lax.bitcast_convert_type(as_f32 + carry, x.dtype)
+            return x + carry
+
+        def reduce_leaf(leaf):
+            if jnp.issubdtype(leaf.dtype, jnp.complexfloating):
+                leaf = lax.bitcast_convert_type(leaf, jnp.float32)
+            return jnp.sum(leaf.astype(jnp.float32))
+
         @jax.jit
         def program(*a):
             def body(carry, _):
-                first = a[0] + carry  # carry == 0.0 always, but data-dependent
+                first = inject(a[0], carry)  # carry == 0.0 always, but data-dependent
                 out = lax.optimization_barrier(fn(first, *a[1:]))
                 leaves = jax.tree_util.tree_leaves(out)
-                s = sum(jnp.sum(leaf.astype(jnp.float32)) for leaf in leaves)
+                s = sum(reduce_leaf(leaf) for leaf in leaves)
                 return s * 0.0, s
             _, ss = lax.scan(body, jnp.float32(0.0), None, length=length)
             return jnp.sum(ss)

@@ -203,15 +203,28 @@ def autotuner(test: Mapping[str, Any]) -> Callable:
     return decorator
 
 
-def make_measure(fn: Callable[[], Any], warmup: int = 1) -> Callable[[int], float]:
+def make_measure(fn: Callable[..., Any], *args, warmup: int = 1) -> Callable[[int], float]:
     """Build a measurement function for :func:`autotune`.
 
-    `fn` runs one candidate invocation and returns a JAX array (or pytree)
-    to block on.  The returned callable runs ``iters`` timed iterations and
-    returns mean seconds per iteration.  Reference: tune.py:337-351, with
-    wall-clock ``block_until_ready`` windows standing in for device-event
-    timing (SURVEY.md §5 "Tracing / profiling").
+    Preferred form: ``make_measure(fn, *args)`` with array operands —
+    iterations then run back-to-back ON-CHIP through the scan harness
+    (:func:`..profiling.time_scan`), the only honest timing under this
+    machine's remote tunnel (`block_until_ready` does not force remote
+    completion, so an async-dispatch loop measures dispatch rate, not the
+    candidate — engine rankings came out as noise and the table
+    flip-flopped between runs).
+
+    Legacy form: ``make_measure(fn)`` with a zero-argument closure times
+    async dispatch + one block (reference tune.py:337-351 semantics);
+    only use it where the closure's operands cannot be threaded through.
     """
+    if args:
+        from .profiling import time_scan
+
+        def measure(iters: int) -> float:
+            return time_scan(fn, args, iters=max(iters, 10))
+
+        return measure
 
     def measure(iters: int) -> float:
         for _ in range(warmup):

@@ -22,7 +22,7 @@ def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--rows", type=int, default=4000)
     parser.add_argument("--cols", type=int, default=5000)
-    parser.add_argument("--engine", choices=["rank", "sort"], default="rank")
+    parser.add_argument("--engine", choices=["rank", "sort", "pallas"], default="rank")
     parser.add_argument("--iters", type=int, default=5)
     args = parser.parse_args()
 

@@ -258,7 +258,7 @@ class TestRank:
 
 
 class TestPercentile5:
-    @pytest.mark.parametrize("engine", ["rank", "sort"])
+    @pytest.mark.parametrize("engine", ["rank", "sort", "pallas"])
     @pytest.mark.parametrize("is_amplitude", [True, False])
     @pytest.mark.parametrize("columns", [7, 241, 500])
     def test_vs_numpy(self, ctx, engine, is_amplitude, columns):
