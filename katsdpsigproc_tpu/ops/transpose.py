@@ -125,7 +125,13 @@ class TransposeTemplate:
     @tune.autotuner(test={"engine": "xla", "tile_r": 256, "tile_c": 256})
     def autotune(cls, context, dtype) -> Mapping[str, Any]:
         shape = (2048, 2048)
-        data = jnp.zeros(shape, dtype=jnp.dtype(dtype))
+        if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
+            # No complex dtype on the TPU backend (transfer OR compute):
+            # measure on the planar split-complex layout, which is what
+            # production transposes anyway (3-D (rows, cols, 2) float32).
+            data = jnp.zeros(shape + (2,), jnp.float32)
+        else:
+            data = jnp.zeros(shape, dtype=jnp.dtype(dtype))
 
         def generate(engine: str, tile_r: int, tile_c: int):
             itemsize = jnp.dtype(dtype).itemsize
@@ -134,8 +140,7 @@ class TransposeTemplate:
             if engine == "pallas" and 4 * tile_r * tile_c * itemsize > 8 * 1024 * 1024:
                 raise RuntimeError("tile exceeds VMEM budget")
             tmpl = cls(context, dtype, tuning={"engine": engine, "tile_r": tile_r, "tile_c": tile_c})
-            op = tmpl.instantiate(None, shape)
-            return tune.make_measure(lambda d: op(src=d)["dest"], data)
+            return tune.make_measure(lambda d: transpose(d, tmpl), data)
 
         return tune.autotune(
             generate,
