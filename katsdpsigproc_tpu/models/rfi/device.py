@@ -63,7 +63,8 @@ class BackgroundFlags(enum.Enum):
 # ---------------------------------------------------------------------------
 
 
-def masked_median_filter(amp, width: int, engine: str = "network"):
+def masked_median_filter(amp, width: int, engine: str = "network",
+                         edges_only: bool = False):
     """Centred windowed median along axis 0, NaN = absent, min_periods=1.
 
     `amp` is (channels, baselines) float32 with NaN marking flagged/absent
@@ -71,6 +72,18 @@ def masked_median_filter(amp, width: int, engine: str = "network"):
     windows with no valid samples.  Matches the reference's sliding filter
     semantics (background_median_filter.mako:96-145): even valid counts
     average the two middle values.
+
+    ``edges_only=True`` asserts `amp` itself is NaN-free, so members are
+    absent only where the window truncates at the channel edges.  Then the
+    NaN pads are replaced with a **static alternating ±inf vector** (the
+    ``k`` absent members of an edge window get ``ceil(k/2)`` −inf and
+    ``floor(k/2)`` +inf fills), which pins the truncated-window median at
+    the fixed sorted ranks ``width//2`` / ``width//2 + 1`` of the padded
+    window: with ``a`` fills below, valid rank ``r`` lands at ``a + r``
+    and ``a + (n−1)//2 == width//2`` identically.  The per-element
+    valid-count pass and the rank-indexed selection loop disappear
+    (bit-identical results — the same elements are selected; see the
+    Pallas twin :func:`.pallas_flagger._median_parity_fill`).
 
     Both engines keep the window stack out of HBM (every term is a
     shifted elementwise op XLA fuses into one VPU loop; an axis sort
@@ -90,6 +103,35 @@ def masked_median_filter(amp, width: int, engine: str = "network"):
     """
     h = width // 2
     c = amp.shape[0]
+    if edges_only and engine == "network" and width % 2 == 1 and c >= width:
+        # A member at signed offset d is absent at channel `col` when
+        # col + d is out of range; its fill must be −inf iff the
+        # out-of-range distance is odd.  In pad coordinates that distance
+        # is a *static* function of the pad index, so the pads are
+        # constants: left pad index p (0-based) fills −inf iff (h−p) odd;
+        # right pad index q fills −inf iff (q+1) odd.
+        trail = (1,) * (amp.ndim - 1)
+        inf = np.float32(np.inf)
+        left = jnp.asarray(
+            np.where((h - np.arange(h)) % 2 == 1, -inf, inf).astype(np.float32)
+        ).reshape((h,) + trail)
+        right = jnp.asarray(
+            np.where((np.arange(h) + 1) % 2 == 1, -inf, inf).astype(np.float32)
+        ).reshape((h,) + trail)
+        bshape = (h,) + amp.shape[1:]
+        padded = jnp.concatenate(
+            [jnp.broadcast_to(left, bshape), amp, jnp.broadcast_to(right, bshape)], axis=0
+        )
+        arrs = [padded[k : k + c] for k in range(width)]
+        rank_ops.apply_selection_network(
+            arrs, rank_ops.selection_network(width, (h, h + 1)))
+        col = jnp.arange(c, dtype=jnp.int32)
+        k_abs = jnp.maximum(h - col, 0) + jnp.maximum(col - (c - 1 - h), 0)
+        n = jnp.broadcast_to(
+            (width - k_abs).reshape((c,) + trail), amp.shape)
+        n_odd = ((k_abs & 1) == 0).reshape((c,) + trail)
+        med = jnp.where(n_odd, arrs[h], (arrs[h] + arrs[h + 1]) * jnp.float32(0.5))
+        return med, n
     padded = jnp.pad(amp, ((h, h),) + ((0, 0),) * (amp.ndim - 1), constant_values=jnp.nan)
     win = [padded[k : k + c] for k in range(width)]
     nan = [jnp.isnan(w) for w in win]
@@ -173,6 +215,12 @@ def background_median_filter(vis, flags, width: int, is_amplitude: bool,
     :func:`masked_median_filter`) — the tuning dimension of
     :class:`BackgroundMedianFilterDeviceTemplate`.
     """
+    if not is_amplitude and use_flags == BackgroundFlags.NONE:
+        # Statically NaN-free input: the edge-fill fast path skips the
+        # valid-count pass, the rank selection, and the NaN post-fill.
+        amp = amplitude(vis)
+        med, _ = masked_median_filter(amp, width, engine, edges_only=True)
+        return (amp - med).astype(jnp.float32)
     if is_amplitude:
         amp = vis.astype(jnp.float32)
         invalid = amp < 0
@@ -249,18 +297,27 @@ def threshold_sum(
         threshold = (base_threshold * np.float32(threshold_falloff ** -w)).astype(jnp.float32)
         clamped = jnp.where(flags, threshold, deviations_t)
 
-        # sums[k] = sum(clamped[k : k + window]), k in [0, channels - window]
-        sums = sl(clamped, 0, channels - window + 1)
-        for j in range(1, window):
-            sums = sums + sl(clamped, j, channels - window + 1 + j)
+        # sums[k] = sum(clamped[k : k + window]), k in [0, channels - window].
+        # Kogge-Stone doubling: log2(window) shifted adds instead of
+        # window - 1 (slices never wrap, so no cross-boundary garbage).
+        sums = clamped
+        length = channels
+        done = 1
+        while done < window:
+            length -= done
+            sums = sl(sums, 0, length) + sl(sums, done, length + done)
+            done *= 2
         sum_flags = sums > threshold * window
         # flag[c] |= any(sum_flags[max(0, c-window+1) : min(c, channels-window) + 1])
         pad = [(0, 0)] * sum_flags.ndim
         pad[ax] = (window - 1, window - 1)
-        dilated = jnp.pad(sum_flags, pad)
-        new_flags = sl(dilated, 0, channels)
-        for j in range(1, window):
-            new_flags = new_flags | sl(dilated, j, channels + j)
+        new_flags = jnp.pad(sum_flags, pad)
+        length = channels + window - 1
+        done = 1
+        while done < window:
+            length -= done
+            new_flags = sl(new_flags, 0, length) | sl(new_flags, done, length + done)
+            done *= 2
         flags = flags | new_flags
     return jnp.where(flags, jnp.uint8(flag_value), jnp.uint8(0))
 

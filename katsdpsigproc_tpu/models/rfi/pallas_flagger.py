@@ -180,6 +180,12 @@ def _masked_median_rows(members, n, width: int):
     rank-indexed selects (averaged — the reference's even-count
     semantics).  All straight-line vector min/max — no loops, no dynamic
     indexing (a ``fori`` over VMEM scratch serializes on Mosaic).
+
+    A selected position is +inf only when ``n == 0`` (rank k is chosen
+    only if k < n, so the k-th smallest is a valid member) — and n == 0
+    requires the window *centre* to be flagged, in which case the caller
+    forces the deviation to 0 and the (infinite) median never leaks.  So
+    no inf-masking of the selected values is needed.
     """
     arrs = list(members)
     # The selection below only reads sorted positions 0..width//2 (the
@@ -192,10 +198,64 @@ def _masked_median_rows(members, n, width: int):
     v_lo = jnp.zeros(n.shape, jnp.float32)
     v_hi = jnp.zeros(n.shape, jnp.float32)
     for k in range(width // 2 + 1):
-        vk = jnp.where(arrs[k] == _INF, 0.0, arrs[k])
-        v_lo = v_lo + jnp.where(lo_rank == k, vk, 0.0)
-        v_hi = v_hi + jnp.where(hi_rank == k, vk, 0.0)
+        v_lo = v_lo + jnp.where(lo_rank == k, arrs[k], 0.0)
+        v_hi = v_hi + jnp.where(hi_rank == k, arrs[k], 0.0)
     return (v_lo + v_hi) * jnp.float32(0.5)
+
+
+def _median_parity_fill(amp, col, width: int, channels: int, interpret: bool):
+    """Windowed masked median, edge truncation via ±inf parity fills.
+
+    The fast path for the no-input-flags pipeline (the headline
+    configuration): members are absent only at the channel edges, where
+    the window truncates.  Filling the ``k`` absent members of a window
+    with ``ceil(k/2)`` copies of −inf and ``floor(k/2)`` of +inf pins the
+    truncated-window median at **fixed sorted ranks** ``width//2`` and
+    ``width//2 + 1`` of the combined array: with ``a = ceil(k/2)`` fills
+    below and the rest above, valid rank ``r`` sits at combined rank
+    ``a + r``, and ``a + (n-1)//2 == width//2`` identically (n = width−k).
+    The per-element rank-indexed selection loop and the valid-count pass
+    of :func:`_masked_median_rows` disappear; the network is pruned to
+    the two middle outputs.  Exactness vs the general path is
+    element-selection equality, so results are bit-identical
+    (tests/rfi/test_pallas_flagger.py covers both paths against the host
+    oracle).
+
+    The alternating fill is assigned by parity: an absent member at
+    signed offset ``d`` is −inf iff its out-of-range distance is odd,
+    which reduces to the parity of ``col + d`` (left edge) or
+    ``col + d − (channels−1)`` (right edge).  Since the fold width is a
+    multiple of 128 (or covers all channels), ``parity(col) ==
+    parity(lane)`` and only two static lane patterns exist; each member
+    picks one at trace time.  Requires ``channels >= width`` (otherwise
+    the two edges overlap and the ±inf counts interfere) and odd
+    ``width`` — callers fall back to the general path.
+    """
+    half = width // 2
+    lane1 = (col & 1) == 1
+    p0 = jnp.where(lane1, -_INF, _INF)  # −inf iff col odd
+    p1 = -p0  # −inf iff col even
+    members = []
+    for d in range(-half, half + 1):
+        if d == 0:
+            members.append(amp)
+            continue
+        shifted = _shift_channels(amp, d, interpret)
+        if d < 0:
+            valid = col >= -d
+            q = (-d) & 1
+        else:
+            valid = col < channels - d
+            q = (d + channels - 1) & 1
+        members.append(jnp.where(valid, shifted, p1 if q else p0))
+    arrs = list(members)
+    _rank_ops.apply_selection_network(
+        arrs, _rank_ops.selection_network(width, (half, half + 1)))
+    c_lo, c_hi = arrs[half], arrs[half + 1]
+    # n odd ⟺ k = (# absent) even; the edges never overlap (channels ≥ width)
+    k = jnp.maximum(half - col, 0) + jnp.maximum(col - (channels - 1 - half), 0)
+    n_odd = (k & 1) == 0
+    return jnp.where(n_odd, c_lo, (c_lo + c_hi) * jnp.float32(0.5))
 
 
 def _madnz_band(absdev, g, h: int, channels: int, interpret: bool,
@@ -272,25 +332,46 @@ def _threshold_sum_band(dev, noise_rows, col, channels: int, n_sigma, n_windows:
     `col` is the global-channel iota; `dev` must be 0 on fold padding;
     `noise_rows` is the per-row (band-broadcast) noise estimate.
     """
-    flags = jnp.zeros(dev.shape, jnp.float32)  # 0.0 / 1.0
+    flags = None  # materialized lazily: window 1 needs no clamp/dilation
     base_threshold = (jnp.float32(n_sigma) * noise_rows).astype(jnp.float32)  # (R, 1)
     for w in range(n_windows):
         window = 1 << w
         if window > channels:
             break
         threshold = base_threshold * jnp.float32(falloff**-w)
-        clamped = flags * threshold + (1.0 - flags) * dev
-        # sums[c] = sum(clamped[c : c + window]); valid for c <= C - window
+        if flags is None:
+            clamped = dev  # first window: flags are identically zero
+        else:
+            clamped = jnp.where(flags > 0.5, threshold, dev)
+        # sums[c] = sum(clamped[c : c + window]); valid for c <= C - window.
+        # Kogge-Stone doubling: log2(window) shifted adds.  Positions
+        # c > C - window accumulate band-crossing garbage (finite) and are
+        # masked out of sf; positions c <= C - window touch only in-band
+        # values at every doubling step, so the result there is exact.
         sums = clamped
-        for j in range(1, window):
-            sums = sums + _shift_channels(clamped, j, interpret)
+        done = 1
+        while done < window:
+            sums = sums + _shift_channels(sums, done, interpret)
+            done *= 2
+        if window == 1:
+            # col <= channels - 1 is tautological in-band, and fold-padding
+            # columns compare 0 > threshold ≥ 0 = false on their own.
+            sf = (sums > threshold).astype(jnp.float32)
+            flags = sf
+            continue
         sf = ((sums > threshold * window) & (col <= channels - window)).astype(jnp.float32)
+        # Dilation acc[c] = max(sf[c-window+1 : c+1]), clipped at channel 0:
+        # Kogge-Stone on max.  Unlike the sums ladder, intermediate acc at a
+        # band's *tail* holds live flags, so each doubling step masks the
+        # cross-band pull (source channel c - done < 0) explicitly.
         acc = sf
-        for j in range(1, window):
-            # garbage from band-crossings comes from c > C - window: masked 0
-            acc = acc + _shift_channels(sf, -j, interpret)
-        flags = jnp.maximum(flags, jnp.minimum(acc, 1.0))
-    return flags
+        done = 1
+        while done < window:
+            pulled = _shift_channels(acc, -done, interpret)
+            acc = jnp.maximum(acc, jnp.where(col >= done, pulled, 0.0))
+            done *= 2
+        flags = jnp.maximum(flags, acc)
+    return jnp.zeros(dev.shape, jnp.float32) if flags is None else flags
 
 
 def _flagger_kernel(vis_ref, *refs, width: int, n_sigma: float,
@@ -357,7 +438,6 @@ def _flagger_body(vis_ref, in_flags_ref, flags_ref, *, width: int, n_sigma: floa
         (lax.broadcasted_iota(jnp.int32, amp.shape, 0) % h) * ww
         + lax.broadcasted_iota(jnp.int32, amp.shape, 1)
     )
-    in_band = col < channels
     g = _band_matrix(rows, h)
 
     if flags_mode == "full":
@@ -380,30 +460,44 @@ def _flagger_body(vis_ref, in_flags_ref, flags_ref, *, width: int, n_sigma: floa
         flagged = jnp.dot(rep, cf, preferred_element_type=jnp.float32)  # (R, W)
         amp = jnp.where(flagged > 0.5, _INF, amp)
 
-    # Window members via folded-channel shifts, absent members +inf.
     half = width // 2
-    members = []
-    for d in range(-half, half + 1):
-        shifted = _shift_channels(amp, d, interpret)
-        valid = (col + d >= 0) & (col + d < channels)
-        members.append(jnp.where(valid, shifted, _INF))
-    if use_flags:
-        n = jnp.zeros(amp.shape, jnp.int32)
-        for m in members:
-            n = n + (m != _INF).astype(jnp.int32)
+    if not use_flags and width % 2 == 1 and channels >= width:
+        # Fast path: members absent only at channel edges → ±inf parity
+        # fills pin the median at fixed sorted ranks (no valid-count pass,
+        # no rank-indexed selection); bit-identical to the general path.
+        med = _median_parity_fill(amp, col, width, channels, interpret)
+        dev = amp - med  # amp is finite (no prior flags); NaN only on fold padding
     else:
-        n = jnp.zeros(amp.shape, jnp.int32)
+        # Window members via folded-channel shifts, absent members +inf.
+        members = []
         for d in range(-half, half + 1):
-            n = n + ((col + d >= 0) & (col + d < channels)).astype(jnp.int32)
+            shifted = _shift_channels(amp, d, interpret)
+            valid = (col + d >= 0) & (col + d < channels)
+            members.append(jnp.where(valid, shifted, _INF))
+        if use_flags:
+            n = jnp.zeros(amp.shape, jnp.int32)
+            for m in members:
+                n = n + (m != _INF).astype(jnp.int32)
+        else:
+            n = jnp.zeros(amp.shape, jnp.int32)
+            for d in range(-half, half + 1):
+                n = n + ((col + d >= 0) & (col + d < channels)).astype(jnp.int32)
 
-    med = _masked_median_rows(members, n, width)
-    # Flagged centres (amp == inf) map to deviation 0 (host semantics:
-    # NaN deviations fill to 0, host.py BackgroundMedianFilterHost).
-    dev = jnp.where(amp == _INF, 0.0, amp - med)  # garbage on fold padding; masked below
+        med = _masked_median_rows(members, n, width)
+        # Flagged centres (amp == inf) map to deviation 0 (host semantics:
+        # NaN deviations fill to 0, host.py BackgroundMedianFilterHost).
+        dev = jnp.where(amp == _INF, 0.0, amp - med)  # garbage on fold padding; masked below
 
-    absdev = jnp.where(in_band, jnp.abs(dev), _NAN)
+    if h * ww == channels:
+        # Exact fold (the headline 32768 = 32×1024): no padding columns
+        # exist, so the in-band masks are tautologies — skip them.
+        absdev = jnp.abs(dev)
+        dev0 = dev
+    else:
+        in_band = col < channels
+        absdev = jnp.where(in_band, jnp.abs(dev), _NAN)
+        dev0 = jnp.where(in_band, dev, 0.0)
     noise_rows = _madnz_band(absdev, g, h, channels, interpret, rank_radix)
-    dev0 = jnp.where(in_band, dev, 0.0)
     flags = _threshold_sum_band(dev0, noise_rows, col, channels, n_sigma, n_windows,
                                 falloff, interpret)
     # flags are float32 0/1; scale and cast via int32 (Mosaic has no direct
@@ -440,11 +534,15 @@ def _madnz_threshold_block(dev_ref, out_ref, *, n_sigma, n_windows, falloff,
         (lax.broadcasted_iota(jnp.int32, dev.shape, 0) % h) * ww
         + lax.broadcasted_iota(jnp.int32, dev.shape, 1)
     )
-    in_band = col < channels
     g = _band_matrix(rows, h)
-    absdev = jnp.where(in_band, jnp.abs(dev), _NAN)
+    if h * ww == channels:  # exact fold: no padding columns exist
+        absdev = jnp.abs(dev)
+        dev0 = dev
+    else:
+        in_band = col < channels
+        absdev = jnp.where(in_band, jnp.abs(dev), _NAN)
+        dev0 = jnp.where(in_band, dev, 0.0)
     noise_rows = _madnz_band(absdev, g, h, channels, interpret, rank_radix)
-    dev0 = jnp.where(in_band, dev, 0.0)
     flags = _threshold_sum_band(dev0, noise_rows, col, channels, n_sigma, n_windows,
                                 falloff, interpret)
     out_ref[:, :] = (flags * flag_value).astype(jnp.int32).astype(jnp.uint8)

@@ -82,6 +82,21 @@ class TestBackgroundDevice:
         with pytest.raises(ValueError):
             device.masked_median_filter(amp, width, engine="quantum")
 
+    @pytest.mark.parametrize("width", [3, 5, 13])
+    @pytest.mark.parametrize("channels", [13, 14, 97, 128])
+    def test_edges_only_fast_path(self, width, channels):
+        """The ±inf edge-fill fast path selects the same elements as the
+        general NaN-masked path on NaN-free input — bit-identical medians
+        and valid counts, at every edge column and both n parities."""
+        if channels < width:
+            pytest.skip("fast path requires channels >= width")
+        rs = np.random.RandomState(seed=7)
+        amp = rs.choice([0.25, 0.5, 1.0, 2.0, 4.0], size=(channels, 9)).astype(np.float32)
+        med_fast, n_fast = device.masked_median_filter(amp, width, edges_only=True)
+        med_gen, n_gen = device.masked_median_filter(amp, width)
+        np.testing.assert_array_equal(np.asarray(n_fast), np.asarray(n_gen))
+        np.testing.assert_array_equal(np.asarray(med_fast), np.asarray(med_gen))
+
 
 class TestNoiseEstDevice:
     @pytest.mark.parametrize("transposed", [False, True])
