@@ -83,7 +83,7 @@ class TestBackgroundDevice:
             device.masked_median_filter(amp, width, engine="quantum")
 
     @pytest.mark.parametrize("width", [3, 5, 13])
-    @pytest.mark.parametrize("channels", [13, 14, 97, 128])
+    @pytest.mark.parametrize("channels", [13, 14, 97, 128, 99])
     def test_edges_only_fast_path(self, width, channels):
         """The ±inf edge-fill fast path selects the same elements as the
         general NaN-masked path on NaN-free input — bit-identical medians

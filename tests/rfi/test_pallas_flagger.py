@@ -10,8 +10,10 @@ from katsdpsigproc_tpu.models.rfi import device as rfi_device, host as rfi_host,
 from ..helpers import rfi_test_data
 
 
-@pytest.mark.parametrize("channels,baselines", [(128, 16), (300, 8)])
+@pytest.mark.parametrize("channels,baselines", [(128, 16), (300, 8), (99, 8), (257, 8)])
 def test_matches_host_oracle(channels, baselines):
+    # 99/257 channels: odd counts flip the right-edge fill parity of the
+    # fast path (_median_parity_fill's (d + channels - 1) & 1 term).
     vis, spikes, _ = rfi_test_data(shape=(channels, baselines), seed=3)
     vis_t = np.moveaxis(rfi_device.to_planar(vis), 0, 1)  # (B, C, 2)
     out_t = np.asarray(
