@@ -14,15 +14,14 @@ run() {
 # 0. trivial op (tunnel health)
 run python -c "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones((8,128))*3)))"
 
-# 1. DMA engine, small shape (new kernel: compile risk check)
+# 1. new fast-path kernel, small shape (compile risk check)
 run python scripts/rfiflagtest.py --channels 1024 --baselines 64 --engine pallas_dma
-# 2. DMA engine at headline slab scale (32k channels)
-run python scripts/rfiflagtest.py --channels 32768 --baselines 252 --engine pallas_dma --skip-host
-# 3. config 3 (new hreduce leg)
-run python bench.py --config 3 --iters 10
-# 4. full headline (all five engines + parity)
+# 2. full headline (all five engines + on-chip parity; fast paths engage)
 run python bench.py --iters 10
-# 5. remaining configs
+# 3. interleaved A/B: parity-fill fast path vs general path, one process
+run python scripts/fastpath_ab.py
+# 4. remaining configs
+run python bench.py --config 3 --iters 10
 run python bench.py --config 1 --iters 10
 run python bench.py --config 2 --iters 10
 run python bench.py --config 4 --iters 10
