@@ -106,20 +106,23 @@ def _roll(x, shift: int, axis: int, interpret: bool):
     return pltpu.roll(x, shift % x.shape[axis], axis)
 
 
-def _shift_channels(x, d: int, interpret: bool):
+def _shift_channels(x, d: int, interpret: bool, lane=None):
     """out[r, w] = x at logical channel position (r, w+d) in band-folded rows.
 
     `x` is (R, W) where each consecutive group of H rows is one baseline's
     channel axis folded row-major.  Positions whose source crosses a band
     boundary out of the valid channel range carry garbage and MUST be
     masked by the caller on the global channel iota (all callers do).
+    `lane` lets callers pass a precomputed lane iota (hoisted out of hot
+    shift chains).
     """
     if d == 0:
         return x
     w = x.shape[-1]
     if abs(d) >= w:
         raise ValueError("shift exceeds fold width")
-    lane = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    if lane is None:
+        lane = lax.broadcasted_iota(jnp.int32, x.shape, 1)
     rl = _roll(x, -d, 1, interpret)
     if d > 0:
         rs = _roll(rl, -1, 0, interpret)  # lanes >= W-d spill into the next row
@@ -232,15 +235,15 @@ def _median_parity_fill(amp, col, width: int, channels: int, interpret: bool):
     ``width`` — callers fall back to the general path.
     """
     half = width // 2
-    lane1 = (col & 1) == 1
-    p0 = jnp.where(lane1, -_INF, _INF)  # −inf iff col odd
+    lane = lax.broadcasted_iota(jnp.int32, amp.shape, 1)
+    p0 = jnp.where((col & 1) == 1, -_INF, _INF)  # −inf iff col odd
     p1 = -p0  # −inf iff col even
     members = []
     for d in range(-half, half + 1):
         if d == 0:
             members.append(amp)
             continue
-        shifted = _shift_channels(amp, d, interpret)
+        shifted = _shift_channels(amp, d, interpret, lane)
         if d < 0:
             valid = col >= -d
             q = (-d) & 1
@@ -333,6 +336,7 @@ def _threshold_sum_band(dev, noise_rows, col, channels: int, n_sigma, n_windows:
     `noise_rows` is the per-row (band-broadcast) noise estimate.
     """
     flags = None  # materialized lazily: window 1 needs no clamp/dilation
+    lane = lax.broadcasted_iota(jnp.int32, dev.shape, 1)
     base_threshold = (jnp.float32(n_sigma) * noise_rows).astype(jnp.float32)  # (R, 1)
     for w in range(n_windows):
         window = 1 << w
@@ -351,7 +355,7 @@ def _threshold_sum_band(dev, noise_rows, col, channels: int, n_sigma, n_windows:
         sums = clamped
         done = 1
         while done < window:
-            sums = sums + _shift_channels(sums, done, interpret)
+            sums = sums + _shift_channels(sums, done, interpret, lane)
             done *= 2
         if window == 1:
             # col <= channels - 1 is tautological in-band, and fold-padding
@@ -360,15 +364,16 @@ def _threshold_sum_band(dev, noise_rows, col, channels: int, n_sigma, n_windows:
             flags = sf
             continue
         sf = ((sums > threshold * window) & (col <= channels - window)).astype(jnp.float32)
-        # Dilation acc[c] = max(sf[c-window+1 : c+1]), clipped at channel 0:
-        # Kogge-Stone on max.  Unlike the sums ladder, intermediate acc at a
-        # band's *tail* holds live flags, so each doubling step masks the
-        # cross-band pull (source channel c - done < 0) explicitly.
+        # Dilation acc[c] = max(sf[c-window+1 : c+1]): Kogge-Stone on max.
+        # Cross-band pulls need no mask: after step s the pull at distance
+        # 2^s reaches back at most 2^(s+1) - 1 ≤ window - 1 positions into
+        # the previous band's tail, which sf zeroes via the
+        # col <= channels - window mask above (window - 1 positions) —
+        # every cross-band contribution is provably 0.
         acc = sf
         done = 1
         while done < window:
-            pulled = _shift_channels(acc, -done, interpret)
-            acc = jnp.maximum(acc, jnp.where(col >= done, pulled, 0.0))
+            acc = jnp.maximum(acc, _shift_channels(acc, -done, interpret, lane))
             done *= 2
         flags = jnp.maximum(flags, acc)
     return jnp.zeros(dev.shape, jnp.float32) if flags is None else flags
