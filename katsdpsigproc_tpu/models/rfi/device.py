@@ -150,10 +150,12 @@ def masked_median_filter(amp, width: int, engine: str = "network",
             width, range(width // 2 + 1)))
         # After the (partial) sort the valid members occupy positions
         # 0..n-1 ascending (absent members are +inf, pushed to the top).
+        # A selected rank k < n always holds a finite member; +inf is
+        # selected only when n == 0, where the n > 0 guard below replaces
+        # the (then infinite) median with NaN anyway — no inf-masking.
         for k in range(width // 2 + 1):
-            vk = jnp.where(arrs[k] == inf, 0.0, arrs[k])
-            v_lo = v_lo + jnp.where(lo == k, vk, 0.0)
-            v_hi = v_hi + jnp.where(hi == k, vk, 0.0)
+            v_lo = v_lo + jnp.where(lo == k, arrs[k], 0.0)
+            v_hi = v_hi + jnp.where(hi == k, arrs[k], 0.0)
     elif engine == "count":
         for j in range(width):
             # Stable rank of win[j] among valid members: NaN comparisons
