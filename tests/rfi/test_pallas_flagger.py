@@ -42,6 +42,25 @@ def test_grid_over_baseline_blocks():
     np.testing.assert_equal(full, blocked)
 
 
+def test_large_windows_cross_band_dilation():
+    """n_windows=6 (window 32) with a 128-lane fold: the unmasked
+    Kogge-Stone dilation's cross-band pulls must all land in the
+    sf-zeroed tail (the 2*done-1 <= window-1 reach-back proof)."""
+    vis, _, _ = rfi_test_data(shape=(384, 8), seed=11)
+    vis_t = np.moveaxis(rfi_device.to_planar(vis), 0, 1)
+    out = np.asarray(
+        pallas_flagger.flag_transposed(
+            jnp.asarray(vis_t), bb=8, fold=128, n_windows=6, interpret=True
+        )
+    )
+    host_flagger = rfi_host.FlaggerHost(
+        rfi_host.BackgroundMedianFilterHost(13),
+        rfi_host.NoiseEstMADHost(),
+        rfi_host.ThresholdSumHost(11.0, n_windows=6),
+    )
+    np.testing.assert_equal(out.T, host_flagger(vis))
+
+
 def test_folded_channel_axis_matches_host():
     """Multi-row folds exercise the cross-row shift logic."""
     vis, _, _ = rfi_test_data(shape=(384, 8), seed=5)
