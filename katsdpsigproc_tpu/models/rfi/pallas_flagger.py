@@ -289,21 +289,30 @@ def _madnz_band(absdev, g, h: int, channels: int, interpret: bool,
         c = jnp.sum((absdev < cand_rows).astype(jnp.float32), axis=1, keepdims=True)
         return _band_sum(g, c)
 
+    # The loops carry (cur, count_less(cur)) so the halfway correction's
+    # final rank needs no extra full-block count sweep: count_less(0) = 0
+    # (absdev >= 0; NaN compares false), and each accepted step's count was
+    # just computed.
     if rank_radix == 1:
-        def body(i, cur):
+        def body(i, carry):
+            cur, r_cur = carry
             test = cur | (jnp.int32(1) << (30 - i))
             cand = lax.bitcast_convert_type(test, jnp.float32)
             r = count_less(cand)
-            return jnp.where(r <= target, test, cur)
+            take = r <= target
+            return jnp.where(take, test, cur), jnp.where(take, r, r_cur)
 
-        cur = lax.fori_loop(0, 31, body, jnp.zeros(target.shape, jnp.int32))
+        cur, r = lax.fori_loop(
+            0, 31, body,
+            (jnp.zeros(target.shape, jnp.int32), jnp.zeros(target.shape, jnp.float32)),
+        )
     else:
         # Positive floats (and NaN, whose pattern exceeds any finite
         # positive) order as int32 (cf. ops/rank.py round_ invariant).
         bits = lax.bitcast_convert_type(absdev, jnp.int32)
         targ_f = target  # float32 counts are exact (< 2^24 elements/band)
 
-        def round_(cur, shift: int, width: int):
+        def round_(cur, r_cur, shift: int, width: int):
             rel = (bits - cur) >> shift  # (R, W) — one read feeds all candidates
             digit = jnp.zeros(target.shape, jnp.float32)
             for j in range(1, (1 << width)):
@@ -311,17 +320,21 @@ def _madnz_band(absdev, g, h: int, channels: int, interpret: bool,
                     g,
                     jnp.sum((rel < j).astype(jnp.float32), axis=1, keepdims=True),
                 )
-                digit = digit + (c <= targ_f).astype(jnp.float32)
-            return cur | (digit.astype(jnp.int32) << shift)
+                take = c <= targ_f
+                digit = digit + take.astype(jnp.float32)
+                # digit >= j exactly when candidate j was admissible, and the
+                # chosen digit's count is the last admissible candidate's.
+                r_cur = jnp.where(take, c, r_cur)
+            return cur | (digit.astype(jnp.int32) << shift), r_cur
 
         cur = jnp.zeros(target.shape, jnp.int32)
+        r = jnp.zeros(target.shape, jnp.float32)
         pos = 31
         while pos > 0:
             width = pos % rank_radix or rank_radix
             pos -= width
-            cur = round_(cur, pos, width)
+            cur, r = round_(cur, r, pos, width)
     result = lax.bitcast_convert_type(cur, jnp.float32)
-    r = count_less(result)
     below = jnp.max(jnp.where(absdev < result, absdev, 0.0), axis=1, keepdims=True)
     prev = _band_max(below, h, interpret, g)
     med = jnp.where(halfway & (r == target), (result + prev) * 0.5, result)
@@ -507,7 +520,9 @@ def _flagger_body(vis_ref, in_flags_ref, flags_ref, *, width: int, n_sigma: floa
                                 falloff, interpret)
     # flags are float32 0/1; scale and cast via int32 (Mosaic has no direct
     # f32→u8 cast, and i1 relayouts to 8-bit tiling are unsupported).
-    flags_ref[:, :] = (flags * flag_value).astype(jnp.int32).astype(jnp.uint8)
+    if flag_value != 1:
+        flags = flags * flag_value
+    flags_ref[:, :] = flags.astype(jnp.int32).astype(jnp.uint8)
 
 
 def _madnz_threshold_kernel(*refs, nref: int, n_sigma: float, n_windows: int,
@@ -550,7 +565,9 @@ def _madnz_threshold_block(dev_ref, out_ref, *, n_sigma, n_windows, falloff,
     noise_rows = _madnz_band(absdev, g, h, channels, interpret, rank_radix)
     flags = _threshold_sum_band(dev0, noise_rows, col, channels, n_sigma, n_windows,
                                 falloff, interpret)
-    out_ref[:, :] = (flags * flag_value).astype(jnp.int32).astype(jnp.uint8)
+    if flag_value != 1:
+        flags = flags * flag_value
+    out_ref[:, :] = flags.astype(jnp.int32).astype(jnp.uint8)
 
 
 @functools.partial(

@@ -83,6 +83,12 @@ class Percentile5Template:
         data = jnp.asarray(host)
 
         def generate(engine: str):
+            if engine == "pallas" and jax.default_backend() == "cpu":
+                # Off-TPU the pallas engine falls back to interpret mode — a
+                # correctness fallback, not a production engine; measuring it
+                # takes minutes at this shape.  Raising skips the config
+                # (tune.autotune treats per-config exceptions as skips).
+                raise RuntimeError("config skipped: pallas engine needs a TPU backend")
             tmpl = cls(context, max_columns, is_amplitude, tuning={"engine": engine})
             op = tmpl.instantiate(None, shape)
             return tune.make_measure(lambda d: op(src=d)["dest"], data)

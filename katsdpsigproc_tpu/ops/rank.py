@@ -18,9 +18,11 @@ axis, vectorized over leading axes.  A pluggable ``count_fn`` turns the
 local reductions into collective ones.
 """
 
+import functools
 from typing import Callable, Optional
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -62,24 +64,39 @@ def batcher_pairs(n: int):
     return [(i, j) for (i, j) in pairs if j < n]
 
 
-def selection_network(n: int, outputs):
-    """Batcher network pruned to the comparators that can influence `outputs`.
+# Optimal-size sorting networks where Batcher is not optimal (Batcher's
+# odd-even mergesort gives 48 comparators at n=13 vs the known-optimal 45;
+# for the other window sizes in use Batcher already matches the optimum).
+# Source construction: the standard size-45 network for 13 inputs from the
+# sorting-network literature; verified exhaustively by the 0-1 principle in
+# tests/test_rank.py.
+_OPTIMAL_SORT = {
+    13: [
+        (0, 12), (1, 10), (2, 9), (3, 7), (5, 11), (6, 8),
+        (1, 6), (2, 3), (4, 11), (7, 9), (8, 10),
+        (0, 4), (1, 2), (3, 6), (7, 8), (9, 10), (11, 12),
+        (4, 6), (5, 9), (8, 11), (10, 12),
+        (0, 5), (3, 8), (4, 7), (6, 11), (9, 10),
+        (0, 1), (2, 5), (6, 9), (7, 8), (10, 11),
+        (1, 3), (2, 4), (5, 6), (9, 10),
+        (1, 2), (3, 4), (5, 7), (6, 8),
+        (2, 3), (4, 5), (6, 7), (8, 9),
+        (3, 4), (5, 6),
+    ],
+}
 
-    Returns ``[(i, j, kind)]`` in execution order with kind ``"both"`` (full
-    compare-exchange), ``"min"`` (only ``w[i] = min(w[i], w[j])``) or
-    ``"max"`` (only ``w[j] = max(w[i], w[j])``).  Backward cone-of-influence
-    pruning: a comparator output wire that no later comparator reads and
-    that is not a requested output carries a dead value, so that side of
-    the exchange is elided.  For the windowed-median use (outputs
-    ``0..n//2`` — the masked median only ever selects the lower half, see
-    :func:`..models.rfi.device.masked_median_filter`) this cuts the
-    width-13 network from 96 to 78 vector ops.  Validated exhaustively by
-    the 0-1 principle in tests (min/max commute with thresholding, so
-    correctness on all binary inputs implies correctness everywhere).
+
+def _cone_prune(pairs, outputs):
+    """Backward cone-of-influence pruning of a comparator network.
+
+    A comparator output wire that no later comparator reads and that is
+    not a requested output carries a dead value, so that side of the
+    exchange is elided (kind ``"min"``/``"max"``) or the comparator is
+    dropped entirely.
     """
     live = set(outputs)
     kept = []
-    for i, j in reversed(batcher_pairs(n)):
+    for i, j in reversed(pairs):
         min_live, max_live = i in live, j in live
         if not (min_live or max_live):
             continue
@@ -88,6 +105,89 @@ def selection_network(n: int, outputs):
         live.add(i)
         live.add(j)
     return kept[::-1]
+
+
+def _verify_01(n: int, net, outputs) -> bool:
+    """Exhaustive 0-1-principle check that `net` selects `outputs` exactly.
+
+    On binary inputs min = AND and max = OR, so each wire's final value is
+    a monotone boolean function of the inputs; agreement with the sorted
+    ranks on all ``2**n`` binary vectors implies agreement with the rank
+    statistics on all reals (min/max commute with thresholding).
+    """
+    cases = np.arange(1 << n, dtype=np.uint32)
+    wires = [((cases >> i) & 1).astype(bool) for i in range(n)]
+    ones = sum(w.astype(np.int32) for w in wires)
+    for i, j, kind in net:
+        lo = wires[i] & wires[j]
+        hi = wires[i] | wires[j]
+        if kind != "max":
+            wires[i] = lo
+        if kind != "min":
+            wires[j] = hi
+    # sorted-ascending position k is 1 iff at least n - k inputs are 1
+    return all(np.array_equal(wires[k], ones >= n - k) for k in outputs)
+
+
+def _greedy_prune(n: int, net, outputs):
+    """Demote/remove comparators while the 0-1 check still passes.
+
+    Cone pruning is sound but not tight: a comparator inside the cone can
+    still be useless because the wires it touches are already ordered on
+    every input that matters.  Exhaustive re-verification per trial is
+    cheap at window sizes (2^13 binary cases as vectorized bool ops), and
+    the result is correct by construction — every accepted demotion ships
+    only after the full network re-passes :func:`_verify_01`.
+    """
+    net = [list(c) for c in net]
+    changed = True
+    while changed:
+        changed = False
+        for idx in range(len(net) - 1, -1, -1):
+            i, j, kind = net[idx]
+            trials = [None] + (["min", "max"] if kind == "both" else [])
+            for t in trials:
+                if t is None:
+                    cand = [tuple(c) for k, c in enumerate(net) if k != idx]
+                else:
+                    cand = [tuple(c) if k != idx else (i, j, t) for k, c in enumerate(net)]
+                if _verify_01(n, cand, outputs):
+                    if t is None:
+                        del net[idx]
+                    else:
+                        net[idx][2] = t
+                    changed = True
+                    break
+    return [tuple(c) for c in net]
+
+
+@functools.lru_cache(maxsize=None)
+def _selection_network_cached(n: int, outputs):
+    pairs = _OPTIMAL_SORT.get(n, None) or batcher_pairs(n)
+    net = _cone_prune(pairs, outputs)
+    if n <= 16:  # 2^n exhaustive verification stays cheap
+        net = _greedy_prune(n, net, outputs)
+    return net
+
+
+def selection_network(n: int, outputs):
+    """Smallest-found min/max network computing sorted ranks `outputs` of `n`.
+
+    Returns ``[(i, j, kind)]`` in execution order with kind ``"both"`` (full
+    compare-exchange), ``"min"`` (only ``w[i] = min(w[i], w[j])``) or
+    ``"max"`` (only ``w[j] = max(w[i], w[j])``).  Construction: an
+    optimal-size sorting network (Batcher where that is already optimal),
+    backward cone-of-influence pruning to the requested outputs, then
+    greedy 0-1-verified demotion/removal of every remaining comparator
+    (:func:`_greedy_prune` — each step re-proves the whole network on all
+    ``2**n`` binary inputs, so the result is exact by construction).  For
+    the fused flagger's parity-fill median (outputs ``{6, 7}`` at width
+    13) this yields 67 vector ops vs 96 for the full sort and 73 for the
+    cone-pruned Batcher construction; for the masked median's lower half
+    (outputs ``0..n//2``) greedy demotion finds nothing beyond the cone
+    (78 ops).  Results are cached per ``(n, outputs)``.
+    """
+    return list(_selection_network_cached(n, tuple(outputs)))
 
 
 def apply_selection_network(arrs, net):

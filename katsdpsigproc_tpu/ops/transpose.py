@@ -135,6 +135,10 @@ class TransposeTemplate:
 
         def generate(engine: str, tile_r: int, tile_c: int):
             itemsize = jnp.dtype(dtype).itemsize
+            if engine == "pallas" and jax.default_backend() == "cpu":
+                # Interpret-mode pallas is a correctness fallback, not a
+                # production engine — skip it rather than measure it.
+                raise RuntimeError("config skipped: pallas engine needs a TPU backend")
             # VMEM guard: in + out tile, double-buffered (cf. the reference's
             # 32 KiB local-memory guard, transpose.py:100-102).
             if engine == "pallas" and 4 * tile_r * tile_c * itemsize > 8 * 1024 * 1024:

@@ -152,7 +152,11 @@ def autotuner_impl(test: Mapping[str, Any], fn: Callable, *args, **kwargs) -> Ma
     """Table lookup with measured-search fallback (reference tune.py:254-280).
 
     Unit tests monkeypatch this module attribute to :func:`stub_autotuner`
-    (see :mod:`katsdpsigproc_tpu.pytest_plugin`).
+    (see :mod:`katsdpsigproc_tpu.pytest_plugin`).  Setting
+    ``KATSDPSIGPROC_TPU_TUNE_STUB=1`` applies the same stubbing across
+    process boundaries (subprocess smoke tests of the CLI harnesses, where
+    monkeypatching cannot reach): a table miss returns the decorator's
+    ``test`` configuration instead of running a measured search.
     """
     cls = args[0] if args else None
     version = getattr(cls, "autotune_version", 0)
@@ -162,6 +166,8 @@ def autotuner_impl(test: Mapping[str, Any], fn: Callable, *args, **kwargs) -> Ma
     cached = _fetch(keys)
     if cached is not None:
         return cached
+    if os.environ.get("KATSDPSIGPROC_TPU_TUNE_STUB"):
+        return test
     _logger.info("Autotuning %s with args %s", keys["fn"], keys["args"])
     result = fn(*args, **kwargs)
     _save_record({**keys, "result": dict(result)})

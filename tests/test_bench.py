@@ -16,6 +16,10 @@ ROOT = pathlib.Path(__file__).resolve().parent.parent
 def _run(*args):
     env = dict(os.environ)
     env["KATSDPSIGPROC_TPU_PLATFORM"] = "cpu"
+    # Subprocess analogue of the pytest plugin's autotune stubbing: a table
+    # miss must not trigger a measured search (the honest scan harness is
+    # minutes-slow on CPU at production shapes — these are CLI smoke tests).
+    env["KATSDPSIGPROC_TPU_TUNE_STUB"] = "1"
     env["PYTHONPATH"] = str(ROOT) + os.pathsep + env.get("PYTHONPATH", "")
     return subprocess.run(
         [sys.executable, str(ROOT / "bench.py"), *args],
