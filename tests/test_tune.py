@@ -94,6 +94,18 @@ class TestAutotunerTable:
         assert _FakeOp.autotune(None, 8) == {"wgs": 64}
         assert not _FakeOp.ran
 
+    def test_stub_env(self, tmp_path, monkeypatch):
+        """KATSDPSIGPROC_TPU_TUNE_STUB stubs table MISSES across process
+        boundaries (subprocess CLI smoke tests) — but a table hit still
+        wins, and nothing is written to the cache."""
+        db = tmp_path / "t.json"
+        monkeypatch.setenv("KATSDPSIGPROC_TPU_TUNE_DB", str(db))
+        monkeypatch.setenv("KATSDPSIGPROC_TPU_TUNE_STUB", "1")
+        _FakeOp.ran = False
+        assert _FakeOp.autotune(None, 8) == {"wgs": 64}  # decorator test= value
+        assert not _FakeOp.ran
+        assert not db.exists()  # stubbed results are never persisted
+
     def test_force(self, tmp_path, monkeypatch):
         db = tmp_path / "t.json"
         monkeypatch.setenv("KATSDPSIGPROC_TPU_TUNE_DB", str(db))
