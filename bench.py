@@ -441,6 +441,25 @@ def main():
     value = n_vis / dt
     roofline = hbm * 1e9 / BYTES_PER_VIS
     vs_baseline = value / (TARGET_FRACTION * roofline)
+    # Measured streaming ceiling: this environment's sustained HBM copy
+    # rate sits well below datasheet (round 2: 429 vs 819 GB/s nominal),
+    # so the roofline fraction is reported against BOTH — the paper number
+    # (vs_baseline, the driver contract) and the same-run measured ceiling
+    # (what this silicon can actually stream).
+    measured = {}
+    try:
+        stream = jnp.zeros((32, 1024, 1024), jnp.float32)  # 128 MB
+        dt_copy = timer(lambda x: x + 1.0, stream)
+        copy_gbps = 2 * stream.size * 4 / dt_copy / 1e9  # read + write
+        measured = {
+            "measured_copy_gbps": copy_gbps,
+            "vs_measured_ceiling": value / (copy_gbps * 1e9 / BYTES_PER_VIS),
+        }
+        log(f"measured streaming ceiling: {copy_gbps:.0f} GB/s "
+            f"({value / (copy_gbps * 1e9 / BYTES_PER_VIS) * 100:.1f}% of the "
+            f"measured-copy roofline)")
+    except Exception as exc:  # noqa: BLE001 — diagnostics only
+        log(f"streaming-ceiling probe failed: {exc}")
     log(
         f"best end-to-end engine [{best_name}]: {dt * 1e3:.3f} ms "
         f"(marginal per-iteration time over {args.iters} on-chip iters); "
@@ -462,6 +481,7 @@ def main():
                 "vs_baseline": vs_baseline,
                 "engine": best_name,
                 "engines": engines,
+                **measured,
             }
         )
     )

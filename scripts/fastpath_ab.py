@@ -18,9 +18,12 @@ Usage:  python scripts/fastpath_ab.py [--baselines 2016] [--channels 32768]
 
 import argparse
 import os
+import pathlib
 import sys
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/jax_comp_cache"))
