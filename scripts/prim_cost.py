@@ -45,7 +45,14 @@ except ImportError:  # pragma: nocover
     pltpu = None
 
 
-def make_kernel(body, steps: int, rows: int, ww: int, h: int, interpret: bool):
+def make_kernel(body, steps: int, unroll: int, rows: int, ww: int, h: int,
+                interpret: bool):
+    """fori_loop of `steps` trips, each trip = `unroll` interleaved
+    (primitive; add) pairs.  The add between primitives breaks
+    consecutive-op merging (roll-of-roll folds to one roll) and the
+    unrolling amortizes the loop-carry overhead; the pure-add baseline
+    (body=None) is subtracted by the caller."""
+
     def kernel(x_ref, o_ref):
         lane = lax.broadcasted_iota(jnp.int32, (rows, ww), 1)
         mask = lane < (ww // 2)
@@ -53,7 +60,11 @@ def make_kernel(body, steps: int, rows: int, ww: int, h: int, interpret: bool):
         env = {"lane": lane, "mask": mask, "g": g, "interpret": interpret}
 
         def step(_, x):
-            return body(x, env)
+            for _ in range(unroll):
+                if body is not None:
+                    x = body(x, env)
+                x = x + 1.0
+            return x
 
         o_ref[...] = lax.fori_loop(0, steps, step, x_ref[...])
 
@@ -91,7 +102,8 @@ def main():
     ap.add_argument("--rows", type=int, default=256)
     ap.add_argument("--width", type=int, default=1024)
     ap.add_argument("--h", type=int, default=32)
-    ap.add_argument("--steps", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--unroll", type=int, default=16)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--interpret", action="store_true")
     args = ap.parse_args()
@@ -101,18 +113,26 @@ def main():
     rs = np.random.RandomState(1)
     x = jnp.asarray(rs.uniform(0.25, 0.75, (args.rows, args.width)).astype(np.float32))
 
+    n_ops = args.steps * args.unroll
+    base_run = make_kernel(None, args.steps, args.unroll, args.rows, args.width,
+                           args.h, args.interpret)
+    np.asarray(base_run(x))
+    dt_base = time_scan(base_run, (x,), iters=args.iters)
+    print(f"{'baseline-add':10s} {dt_base / n_ops * 1e9:8.1f} ns/add  "
+          f"({dt_base * 1e3:7.3f} ms per {n_ops}-add chain)", file=sys.stderr)
+
     results = {}
     for name, body in BODIES.items():
-        run = make_kernel(body, args.steps, args.rows, args.width, args.h,
-                          args.interpret)
+        run = make_kernel(body, args.steps, args.unroll, args.rows, args.width,
+                          args.h, args.interpret)
         np.asarray(run(x))  # compile + one execution
         dt = time_scan(run, (x,), iters=args.iters)
-        ns = dt / args.steps * 1e9
+        ns = (dt - dt_base) / n_ops * 1e9
         results[name] = ns
-        print(f"{name:10s} {ns:8.1f} ns/step  ({dt * 1e3:7.3f} ms per {args.steps}-chain)",
+        print(f"{name:10s} {ns:8.1f} ns/op  ({dt * 1e3:7.3f} ms per chain)",
               file=sys.stderr)
     base = results.get("add")
-    if base:
+    if base and base > 0:
         print("relative to add:", {k: round(v / base, 2) for k, v in results.items()},
               file=sys.stderr)
 
