@@ -249,6 +249,28 @@ class TestRank:
                     w[j] = max(a, b)
             assert [w[p] for p in outs] == [ref[p] for p in outs]
 
+    @pytest.mark.parametrize("width", [3, 5, 9, 13])
+    def test_selection_network_two_middle_ranks(self, width):
+        """The parity-fill fast path's {width//2, width//2+1} network
+        (greedy 0-1-pruned over the optimal base sort) is exact on all
+        2^width binary inputs, and smaller than the lower-half network."""
+        outs = (width // 2, width // 2 + 1)
+        net = rank.selection_network(width, outs)
+        lower = rank.selection_network(width, range(width // 2 + 1))
+        ops_of = lambda n: sum(2 if k == "both" else 1 for (_, _, k) in n)
+        assert ops_of(net) <= ops_of(lower)
+        for bits in range(1 << width):
+            v = [float((bits >> k) & 1) for k in range(width)]
+            ref = sorted(v)
+            w = list(v)
+            for i, j, kind in net:
+                a, b = w[i], w[j]
+                if kind != "max":
+                    w[i] = min(a, b)
+                if kind != "min":
+                    w[j] = max(a, b)
+            assert [w[p] for p in outs] == [ref[p] for p in outs]
+
     def test_fmin_fmax(self):
         values = jnp.asarray([[np.nan, 2.0, 7.0, np.nan]], jnp.float32)
         np.testing.assert_equal(np.asarray(rank.fmin(values)), [2.0])
