@@ -262,7 +262,7 @@ def _median_parity_fill(amp, col, width: int, channels: int, interpret: bool):
 
 
 def _madnz_band(absdev, g, h: int, channels: int, interpret: bool,
-                rank_radix: int = 1):
+                rank_radix: int = 1, rank_pair: bool = False):
     """MAD of non-zero |deviations| per band of (R, W); result per row (R, 1).
 
     NaN entries (fold padding) are absent: they count in neither the rank
@@ -274,12 +274,21 @@ def _madnz_band(absdev, g, h: int, channels: int, interpret: bool,
     computes the integer digit ``rel = (bits - cur) >> shift`` ONCE and
     counts against the ``2**radix - 1`` candidates from it — fewer rank
     rounds (loop iterations, band matmuls) at more compares per round.
+
+    ``rank_pair`` resolves bits in SPECULATIVE PAIRS: one loop step counts
+    all three candidates of two consecutive bits (cur|hi, cur|lo,
+    cur|hi|lo) — the three compare/count chains are mutually independent,
+    so the reduce→matmul→select dependency path is 16 stages instead of
+    31 (a latency, not throughput, optimization; the two same-step row
+    counts ride ONE i32 reduce, packed 16+16).
     """
     if rank_radix not in (1, 2, 3, 4):
         # 2**radix - 1 candidate counts per round: beyond 4 bits the
         # unrolled count chain explodes (radix 8 = 255 counts/round wedged
         # the remote AOT compiler for >30 min).
         raise ValueError("rank_radix must be 1..4")
+    if rank_pair and rank_radix != 1:
+        raise ValueError("rank_pair applies to the binary (radix 1) search")
     zeros = _band_sum(g, jnp.sum((absdev == 0).astype(jnp.float32), axis=1, keepdims=True))
     rank2 = jnp.float32(channels) + zeros
     target = jnp.floor(rank2 * 0.5)
@@ -293,7 +302,49 @@ def _madnz_band(absdev, g, h: int, channels: int, interpret: bool,
     # final rank needs no extra full-block count sweep: count_less(0) = 0
     # (absdev >= 0; NaN compares false), and each accepted step's count was
     # just computed.
-    if rank_radix == 1:
+    if rank_pair:
+        # 15 pairs (bits 30..1) + a final single round (bit 0).  Per pair,
+        # the hi/combined indicator row-counts share one packed i32 lane
+        # reduce (per-row counts <= W = 1024 < 2^16 per field; band totals
+        # <= 32k < 2^16 after the f32 matmuls on the unpacked halves).
+        def count_pair(t_hi, t_both):
+            ind = (absdev < lax.bitcast_convert_type(t_hi, jnp.float32)).astype(jnp.int32)
+            ind = ind + ((absdev < lax.bitcast_convert_type(t_both, jnp.float32))
+                         .astype(jnp.int32) << 16)
+            packed = jnp.sum(ind, axis=1, keepdims=True)
+            c_hi = _band_sum(g, (packed & 0xFFFF).astype(jnp.float32))
+            c_both = _band_sum(g, (packed >> 16).astype(jnp.float32))
+            return c_hi, c_both
+
+        def pair_body(i, carry):
+            cur, r_cur = carry
+            hi_bit = jnp.int32(1) << (30 - 2 * i)
+            lo_bit = jnp.int32(1) << (29 - 2 * i)
+            t_hi = cur | hi_bit
+            t_lo = cur | lo_bit
+            t_both = cur | hi_bit | lo_bit
+            c_hi, c_both = count_pair(t_hi, t_both)
+            c_lo = count_less(lax.bitcast_convert_type(t_lo, jnp.float32))
+            take_hi = c_hi <= target
+            # lo decision tests against the hi-resolved prefix
+            c_lo_eff = jnp.where(take_hi, c_both, c_lo)
+            take_lo = c_lo_eff <= target
+            cur = jnp.where(take_hi, t_hi, cur)
+            cur = jnp.where(take_lo, cur | lo_bit, cur)
+            r_cur = jnp.where(take_hi, c_hi, r_cur)
+            r_cur = jnp.where(take_lo, c_lo_eff, r_cur)
+            return cur, r_cur
+
+        cur, r = lax.fori_loop(
+            0, 15, pair_body,
+            (jnp.zeros(target.shape, jnp.int32), jnp.zeros(target.shape, jnp.float32)),
+        )
+        # final bit 0
+        c0 = count_less(lax.bitcast_convert_type(cur | 1, jnp.float32))
+        take0 = c0 <= target
+        cur = jnp.where(take0, cur | 1, cur)
+        r = jnp.where(take0, c0, r)
+    elif rank_radix == 1:
         def body(i, carry):
             cur, r_cur = carry
             test = cur | (jnp.int32(1) << (30 - i))

@@ -193,6 +193,9 @@ def _percentile5_pallas(values, block_rows: int = 256, interpret: bool = False):
     rank rounds run register/VMEM-resident — the XLA rank engine re-reads
     the operand from HBM every round (31 × 4 B/element of traffic)."""
     rows, n = values.shape
+    # Never pad rows past the input: at small row counts (config 2's
+    # 64×4096) a fixed 256-row block would quadruple the compute.
+    block_rows = min(block_rows, max(8, -(-rows // 8) * 8))
     r_pad = -(-rows // block_rows) * block_rows
     w_pad = max(128, -(-n // 128) * 128)
     x = jnp.pad(values, ((0, r_pad - rows), (0, w_pad - n)),

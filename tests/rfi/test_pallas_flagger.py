@@ -321,3 +321,27 @@ def test_rank_radix_validation():
     vis_t = jnp.asarray(np.moveaxis(rfi_device.to_planar(vis), 0, 1))
     with pytest.raises(ValueError, match="rank_radix"):
         pallas_flagger.flag_transposed(vis_t, bb=8, interpret=True, rank_radix=8)
+
+
+def test_rank_pair_matches_binary():
+    """The speculative paired rank search (two bits per step from three
+    independent counts) is bit-identical to the binary search, including
+    zeros, ties (halfway averaging) and NaN fold padding.  _madnz_band is
+    pure jnp, so this exercises exactly the kernel code path."""
+    from katsdpsigproc_tpu.models.rfi.pallas_flagger import _band_matrix, _madnz_band
+
+    rs = np.random.RandomState(11)
+    h, w, bands = 4, 256, 3
+    channels = h * w - 40  # non-exact fold: NaN padding in play
+    rows = h * bands
+    absdev = np.abs(rs.standard_normal((rows, w))).astype(np.float32)
+    absdev[rs.random_sample(absdev.shape) < 0.05] = 0.0  # zeros counted out
+    col = (np.arange(rows)[:, None] % h) * w + np.arange(w)[None, :]
+    absdev[col >= channels] = np.nan  # fold padding is absent
+    x = jnp.asarray(absdev)
+    g = _band_matrix(rows, h)
+    base = np.asarray(_madnz_band(x, g, h, channels, True))
+    paired = np.asarray(_madnz_band(x, g, h, channels, True, rank_pair=True))
+    np.testing.assert_array_equal(paired, base)
+    with pytest.raises(ValueError, match="rank_pair"):
+        _madnz_band(x, g, h, channels, True, rank_radix=2, rank_pair=True)
