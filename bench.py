@@ -432,6 +432,32 @@ def main():
             msg = str(exc).splitlines()[0][:200] if str(exc) else type(exc).__name__
             log(f"{name} engine failed: {msg}")
             failed[name] = msg
+    # Planar-leading ingest leg: the SAME kernel fed (2, B, C) — the
+    # band-fold becomes a free reshape, so this isolates what the
+    # trailing layout's corner-turn copy costs.  Reported in the JSON but
+    # EXCLUDED from the headline min: the timed input layout differs from
+    # the contract (trailing planar = the image of the reference's
+    # interleaved complex64 ingest).
+    extras = {}
+    try:
+        vis_leading = jnp.moveaxis(jnp.swapaxes(vis_xla, 0, 1), -1, 0)
+        vis_leading.block_until_ready()
+        t_lead = timer(
+            lambda v: pallas_flagger.flag_dump(
+                v, slab=args.baselines, width=args.width, n_sigma=11.0,
+                bb=args.bb, interpret=interpret, layout="leading"),
+            vis_leading,
+        )
+        extras["pallas_leading_ingest"] = {
+            "seconds_per_dump": t_lead,
+            "vis_per_second": n_vis / t_lead,
+            "note": "planar-leading (2,B,C) ingest; excluded from headline",
+        }
+        log(f"engine[pallas_leading_ingest]: {t_lead * 1e3:.3f} ms "
+            f"({n_vis / t_lead / 1e9:.2f} Gvis/s; non-headline leg)")
+    except Exception as exc:  # noqa: BLE001 — diagnostics only
+        log(f"pallas_leading_ingest leg failed: {str(exc).splitlines()[0][:160]}")
+
     for name, t in results.items():
         log(f"engine[{name}]: {t * 1e3:.3f} ms ({n_vis / t / 1e9:.2f} Gvis/s)")
     if not results:
@@ -470,6 +496,7 @@ def main():
         name: {"seconds_per_dump": t, "vis_per_second": n_vis / t}
         for name, t in results.items()
     }
+    engines.update(extras)
     for name, msg in failed.items():
         engines[name] = {"failed": msg}
     print(

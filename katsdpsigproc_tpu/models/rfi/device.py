@@ -195,13 +195,24 @@ def amplitude(vis):
     raise TypeError("expected complex input or a trailing (re, im) pair axis")
 
 
-def to_planar(vis):
-    """Convert a complex numpy/JAX array to the planar (…, 2) float32 layout."""
+def to_planar(vis, leading: bool = False):
+    """Convert a complex numpy/JAX array to the planar float32 layout.
+
+    ``leading=False`` (default) gives the trailing (…, 2) layout — the
+    planar image of interleaved complex64, i.e. what the reference's
+    device buffers hold.  ``leading=True`` gives (2, …): the fused Pallas
+    flagger's native layout, which reshapes to its band-folded blocks
+    with NO device copy (see :func:`..pallas_flagger.flag_transposed`
+    ``layout="leading"``) — the corner turn happens host-side here, where
+    the complex→planar split is already mandatory (the TPU backend cannot
+    transfer complex dtypes at all).
+    """
     import numpy as np
 
+    axis = 0 if leading else -1
     if isinstance(vis, np.ndarray):
-        return np.stack([vis.real.astype(np.float32), vis.imag.astype(np.float32)], axis=-1)
-    return jnp.stack([vis.real.astype(jnp.float32), vis.imag.astype(jnp.float32)], axis=-1)
+        return np.stack([vis.real.astype(np.float32), vis.imag.astype(np.float32)], axis=axis)
+    return jnp.stack([vis.real.astype(jnp.float32), vis.imag.astype(jnp.float32)], axis=axis)
 
 
 def background_median_filter(vis, flags, width: int, is_amplitude: bool,

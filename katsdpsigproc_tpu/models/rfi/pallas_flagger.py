@@ -95,6 +95,39 @@ def _fold_setup(channels: int, bb: int, fold: int, baselines: int, nref: int = 1
     return fold, hh, hh * fold
 
 
+def _vis_dims(vis_t, layout: str):
+    """(baselines, channels) of a planar visibility array in `layout`.
+
+    ``"trailing"``: (baselines, channels, 2) — the planar image of
+    interleaved complex64 (the reference's buffer layout).
+    ``"leading"``: (2, baselines, channels) — the kernel-native layout;
+    band-folding it is a FREE reshape (row-major contiguity), so no
+    corner-turn copy precedes the kernel.
+    """
+    if layout == "trailing":
+        return vis_t.shape[0], vis_t.shape[1]
+    if layout == "leading":
+        return vis_t.shape[1], vis_t.shape[2]
+    raise ValueError("layout must be 'trailing' or 'leading'")
+
+
+def _fold_vis(vis_t, layout: str, baselines: int, hh: int, fold: int, padded_c: int,
+              channels: int):
+    """Band-fold planar visibilities to the kernel's (2, B*hh, fold).
+
+    The trailing layout pays one transposition copy (XLA fuses it into
+    the operand copy — measured +1.6 ms on a 2016×32k dump); the leading
+    layout is a pure reshape.
+    """
+    if layout == "trailing":
+        if padded_c != channels:
+            vis_t = jnp.pad(vis_t, ((0, 0), (0, padded_c - channels), (0, 0)))
+        return jnp.moveaxis(vis_t.reshape(baselines * hh, fold, 2), -1, 0)
+    if padded_c != channels:
+        vis_t = jnp.pad(vis_t, ((0, 0), (0, 0), (0, padded_c - channels)))
+    return vis_t.reshape(2, baselines * hh, fold)
+
+
 def _roll(x, shift: int, axis: int, interpret: bool):
     """Static roll: pltpu.roll on hardware, jnp.roll in interpret mode."""
     if shift % x.shape[axis] == 0:
@@ -799,12 +832,13 @@ class FusedFlaggerTemplate:
 @functools.partial(
     jax.jit,
     static_argnames=("slab", "width", "n_sigma", "n_windows", "falloff", "flag_value", "bb",
-                     "fold", "interpret", "nref", "pipeline"),
+                     "fold", "interpret", "nref", "pipeline", "layout"),
 )
 def flag_dump(vis_t, input_flags=None, slab: int = 256, width: int = 13,
               n_sigma: float = 11.0, n_windows: int = 4, falloff: float = 1.2,
               flag_value: int = 1, bb: int = 1, fold: int = 1024, interpret: bool = False,
-              channel_flags=None, nref: int = 1, pipeline: str = "grid"):
+              channel_flags=None, nref: int = 1, pipeline: str = "grid",
+              layout: str = "trailing"):
     """Flag a large dump by slabs of baselines, as ONE program.
 
     The remote Mosaic AOT service fails on very large grid/buffer sizes
@@ -818,16 +852,26 @@ def flag_dump(vis_t, input_flags=None, slab: int = 256, width: int = 13,
     """
     kwargs = dict(width=width, n_sigma=n_sigma, n_windows=n_windows, falloff=falloff,
                   flag_value=flag_value, bb=bb, fold=fold, interpret=interpret,
-                  channel_flags=channel_flags)
+                  channel_flags=channel_flags, layout=layout)
     if pipeline == "dma":
         slab_fn = flag_transposed_dma  # one grid step per slab
     else:
         slab_fn = functools.partial(flag_transposed, nref=nref)
-    baselines, channels = vis_t.shape[0], vis_t.shape[1]
+    baselines, channels = _vis_dims(vis_t, layout)
     if baselines <= slab:
         return slab_fn(vis_t, input_flags, **kwargs)
     n_full = baselines // slab
-    main = vis_t[: n_full * slab].reshape(n_full, slab, channels, 2)
+    if layout == "leading":
+        # lax.scan slices xs on axis 0, so slabbing a leading-layout dump
+        # re-permutes it once — the zero-copy benefit of this layout lives
+        # in the one-shot path (baselines <= slab; whole-dump kernels
+        # compile since round 3, so slab=baselines is the natural call).
+        main = vis_t[:, : n_full * slab].reshape(2, n_full, slab, channels)
+        main = jnp.moveaxis(main, 1, 0)  # scan axis first: (n_full, 2, slab, C)
+        tail_vis = vis_t[:, n_full * slab :]
+    else:
+        main = vis_t[: n_full * slab].reshape(n_full, slab, channels, 2)
+        tail_vis = vis_t[n_full * slab :]
     xs = (main,)
     if input_flags is not None:
         xs = (main, input_flags[: n_full * slab].reshape(n_full, slab, channels))
@@ -841,7 +885,7 @@ def flag_dump(vis_t, input_flags=None, slab: int = 256, width: int = 13,
     out = out.reshape(n_full * slab, channels)
     if n_full * slab < baselines:
         tail_flags = None if input_flags is None else input_flags[n_full * slab :]
-        tail = slab_fn(vis_t[n_full * slab :], tail_flags, **kwargs)
+        tail = slab_fn(tail_vis, tail_flags, **kwargs)
         out = jnp.concatenate([out, tail], axis=0)
     return out
 
@@ -849,18 +893,23 @@ def flag_dump(vis_t, input_flags=None, slab: int = 256, width: int = 13,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "n_sigma", "n_windows", "falloff", "flag_value", "bb", "fold",
-                     "interpret", "nref", "rank_radix"),
+                     "interpret", "nref", "rank_radix", "layout"),
 )
 def flag_transposed(vis_t, input_flags=None, width: int = 13, n_sigma: float = 11.0,
                     n_windows: int = 4, falloff: float = 1.2, flag_value: int = 1,
                     bb: int = 4, fold: int = 1024, interpret: bool = False,
-                    channel_flags=None, nref: int = 1, rank_radix: int = 1):
+                    channel_flags=None, nref: int = 1, rank_radix: int = 1,
+                    layout: str = "trailing"):
     """Fused flagger on baseline-major planar visibilities.
 
     Parameters
     ----------
     vis_t
-        (baselines, channels, 2) float32 split-complex visibilities.
+        (baselines, channels, 2) float32 split-complex visibilities —
+        or, with ``layout="leading"``, (2, baselines, channels): the
+        kernel-native planar-leading layout whose band-folding is a free
+        reshape (no corner-turn copy; see ``device.to_planar(...,
+        leading=True)``).
     input_flags
         Optional (baselines, channels) uint8 prior flags (the reference's
         FULL mode).
@@ -888,17 +937,16 @@ def flag_transposed(vis_t, input_flags=None, width: int = 13, n_sigma: float = 1
     """
     if input_flags is not None and channel_flags is not None:
         raise ValueError("pass either input_flags (FULL) or channel_flags (CHANNEL), not both")
-    baselines, channels = vis_t.shape[0], vis_t.shape[1]
+    baselines, channels = _vis_dims(vis_t, layout)
     fold, hh, padded_c = _fold_setup(channels, bb, fold, baselines, nref)
+    # Band-folded rows: row b*hh + h holds channels [h*fold, (h+1)*fold),
+    # with re/im on a LEADING planar axis (lane dim stays `fold`).
+    folded = _fold_vis(vis_t, layout, baselines, hh, fold, padded_c, channels)
     if padded_c != channels:
-        vis_t = jnp.pad(vis_t, ((0, 0), (0, padded_c - channels), (0, 0)))
         if input_flags is not None:
             input_flags = jnp.pad(input_flags, ((0, 0), (0, padded_c - channels)))
         if channel_flags is not None:
             channel_flags = jnp.pad(channel_flags, ((0, padded_c - channels),))
-    # Band-folded rows: row b*hh + h holds channels [h*fold, (h+1)*fold),
-    # with re/im moved to a LEADING planar axis (lane dim stays `fold`).
-    folded = jnp.moveaxis(vis_t.reshape(baselines * hh, fold, 2), -1, 0)
     block_rows = bb * hh
 
     flags_mode = "none"
@@ -1115,12 +1163,13 @@ def _dma_block_loop(ins, outs, per_block, *, n_blocks: int):
 @functools.partial(
     jax.jit,
     static_argnames=("width", "n_sigma", "n_windows", "falloff", "flag_value", "bb",
-                     "fold", "interpret", "rank_radix"),
+                     "fold", "interpret", "rank_radix", "layout"),
 )
 def flag_transposed_dma(vis_t, input_flags=None, width: int = 13, n_sigma: float = 11.0,
                         n_windows: int = 4, falloff: float = 1.2, flag_value: int = 1,
                         bb: int = 1, fold: int = 1024, interpret: bool = False,
-                        channel_flags=None, rank_radix: int = 1):
+                        channel_flags=None, rank_radix: int = 1,
+                        layout: str = "trailing"):
     """:func:`flag_transposed` with the in-kernel DMA pipeline.
 
     Same semantics and band-folded layout; the block loop runs INSIDE one
@@ -1131,17 +1180,16 @@ def flag_transposed_dma(vis_t, input_flags=None, width: int = 13, n_sigma: float
     """
     if input_flags is not None and channel_flags is not None:
         raise ValueError("pass either input_flags (FULL) or channel_flags (CHANNEL), not both")
-    baselines, channels = vis_t.shape[0], vis_t.shape[1]
+    baselines, channels = _vis_dims(vis_t, layout)
     if pltpu is None:
         raise RuntimeError("flag_transposed_dma needs jax.experimental.pallas.tpu")
     fold, hh, padded_c = _fold_setup(channels, bb, fold, baselines)
+    folded = _fold_vis(vis_t, layout, baselines, hh, fold, padded_c, channels)
     if padded_c != channels:
-        vis_t = jnp.pad(vis_t, ((0, 0), (0, padded_c - channels), (0, 0)))
         if channel_flags is not None:
             channel_flags = jnp.pad(channel_flags, ((0, padded_c - channels),))
         if input_flags is not None:
             input_flags = jnp.pad(input_flags, ((0, 0), (0, padded_c - channels)))
-    folded = jnp.moveaxis(vis_t.reshape(baselines * hh, fold, 2), -1, 0)
     block_rows = bb * hh
     n_blocks = baselines // bb
 

@@ -323,6 +323,28 @@ def test_rank_radix_validation():
         pallas_flagger.flag_transposed(vis_t, bb=8, interpret=True, rank_radix=8)
 
 
+def test_leading_layout_matches_trailing():
+    """layout="leading" ((2, B, C) planar-leading input, free band-fold
+    reshape) produces bit-identical flags through flag_transposed, the
+    DMA engine, and the slab-scanned flag_dump."""
+    vis, _, _ = rfi_test_data(shape=(300, 24), seed=12)
+    planar_t = np.moveaxis(rfi_device.to_planar(vis), 0, 1)  # (B, C, 2)
+    planar_l = rfi_device.to_planar(vis.T, leading=True)  # (2, B, C)
+    np.testing.assert_array_equal(np.moveaxis(planar_t, -1, 0), planar_l)
+    vt = jnp.asarray(planar_t)
+    vl = jnp.asarray(planar_l)
+    kw = dict(width=13, n_sigma=11.0, bb=8, interpret=True)
+    base = np.asarray(pallas_flagger.flag_transposed(vt, **kw))
+    np.testing.assert_array_equal(
+        np.asarray(pallas_flagger.flag_transposed(vl, layout="leading", **kw)), base)
+    np.testing.assert_array_equal(
+        np.asarray(pallas_flagger.flag_transposed_dma(vl, layout="leading", **kw)), base)
+    np.testing.assert_array_equal(
+        np.asarray(pallas_flagger.flag_dump(vl, slab=8, layout="leading", **kw)), base)
+    with pytest.raises(ValueError, match="layout"):
+        pallas_flagger.flag_transposed(vt, layout="planar", interpret=True)
+
+
 def test_rank_pair_matches_binary():
     """The speculative paired rank search (two bits per step from three
     independent counts) is bit-identical to the binary search, including
