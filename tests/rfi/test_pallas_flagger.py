@@ -341,6 +341,15 @@ def test_leading_layout_matches_trailing():
         np.asarray(pallas_flagger.flag_transposed_dma(vl, layout="leading", **kw)), base)
     np.testing.assert_array_equal(
         np.asarray(pallas_flagger.flag_dump(vl, slab=8, layout="leading", **kw)), base)
+    # non-divisible slab: the leading-layout tail slice path
+    np.testing.assert_array_equal(
+        np.asarray(pallas_flagger.flag_dump(vl, slab=16, layout="leading", **kw)), base)
+    # FULL-mode input flags ride (baselines, channels) in either layout
+    iflags = (np.random.RandomState(13).random_sample((24, 300)) < 0.02).astype(np.uint8)
+    base_f = np.asarray(pallas_flagger.flag_transposed(vt, jnp.asarray(iflags), **kw))
+    np.testing.assert_array_equal(
+        np.asarray(pallas_flagger.flag_dump(vl, jnp.asarray(iflags), slab=8,
+                                            layout="leading", **kw)), base_f)
     with pytest.raises(ValueError, match="layout"):
         pallas_flagger.flag_transposed(vt, layout="planar", interpret=True)
 
