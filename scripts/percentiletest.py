@@ -22,7 +22,8 @@ def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--rows", type=int, default=4000)
     parser.add_argument("--cols", type=int, default=5000)
-    parser.add_argument("--engine", choices=["rank", "sort", "pallas"], default="rank")
+    parser.add_argument("--engine", choices=["rank", "sort", "pallas"], default=None,
+                        help="force an engine (default: the tuned-table choice)")
     parser.add_argument("--iters", type=int, default=5)
     args = parser.parse_args()
 
@@ -35,9 +36,9 @@ def main():
     ctx = backend.create_some_context()
     rs = np.random.RandomState(seed=1)
     src = np.abs(rs.standard_normal((args.rows, args.cols))).astype(np.float32)
-    template = percentile.Percentile5Template(
-        ctx, args.cols, True, tuning={"engine": args.engine}
-    )
+    tuning = {"engine": args.engine} if args.engine else None
+    template = percentile.Percentile5Template(ctx, args.cols, True, tuning=tuning)
+    print(f"engine: {template.engine}", file=sys.stderr)
     op = template.instantiate(None, src.shape)
     v = jnp.asarray(src)
     out = np.asarray(jax.block_until_ready(op(src=v)["dest"]))
