@@ -161,8 +161,46 @@ def _greedy_prune(n: int, net, outputs):
     return [tuple(c) for c in net]
 
 
+# Best-known networks for the hot configurations, found by a randomized
+# perturb-and-greedy-prune search (insert random comparators, re-prune in a
+# random order, keep improvements — every candidate re-verified by the 0-1
+# principle).  Greedy pruning alone bottoms at 67/78 ops for these; the
+# annealed networks are re-verified at load below, so an invalid entry
+# cannot ship.
+_ANNEALED_SELECT = {
+    # parity-fill median: the two middle ranks of a width-13 window (61 ops)
+    (13, (6, 7)): [
+        (0, 8, 'both'), (0, 12, 'both'), (4, 11, 'both'), (5, 12, 'both'),
+        (3, 7, 'both'), (1, 10, 'both'), (2, 9, 'both'), (6, 8, 'both'),
+        (1, 6, 'both'), (7, 9, 'both'), (8, 10, 'both'), (2, 3, 'both'),
+        (0, 4, 'both'), (3, 6, 'both'), (7, 8, 'both'), (9, 10, 'min'),
+        (0, 3, 'max'), (8, 9, 'both'), (11, 12, 'both'), (1, 2, 'max'),
+        (8, 12, 'min'), (4, 6, 'both'), (4, 11, 'both'), (6, 9, 'min'),
+        (8, 11, 'both'), (3, 8, 'both'), (4, 7, 'max'), (3, 5, 'max'),
+        (5, 7, 'both'), (6, 11, 'min'), (6, 8, 'both'), (2, 5, 'max'),
+        (5, 7, 'both'), (7, 8, 'min'), (5, 6, 'max'), (6, 7, 'both'),
+    ],
+    # masked median general path: the lower half of a width-13 window (72 ops)
+    (13, (0, 1, 2, 3, 4, 5, 6)): [
+        (1, 10, 'both'), (2, 9, 'both'), (3, 7, 'both'), (0, 4, 'both'),
+        (5, 11, 'both'), (6, 8, 'both'), (8, 10, 'both'), (2, 3, 'both'),
+        (1, 6, 'both'), (7, 9, 'both'), (1, 2, 'both'), (3, 6, 'both'),
+        (7, 8, 'both'), (9, 10, 'min'), (8, 9, 'both'), (0, 12, 'both'),
+        (8, 11, 'both'), (11, 12, 'min'), (8, 11, 'both'), (4, 7, 'both'),
+        (0, 5, 'both'), (3, 8, 'both'), (6, 11, 'min'), (7, 9, 'min'),
+        (2, 5, 'both'), (0, 1, 'both'), (7, 8, 'both'), (1, 3, 'both'),
+        (2, 4, 'both'), (1, 2, 'both'), (3, 4, 'both'), (5, 7, 'both'),
+        (4, 6, 'both'), (6, 8, 'min'), (4, 5, 'both'), (2, 3, 'both'),
+        (6, 7, 'min'), (3, 4, 'both'), (5, 6, 'both'),
+    ],
+}
+
+
 @functools.lru_cache(maxsize=None)
 def _selection_network_cached(n: int, outputs):
+    annealed = _ANNEALED_SELECT.get((n, outputs))
+    if annealed is not None and _verify_01(n, annealed, outputs):
+        return annealed
     pairs = _OPTIMAL_SORT.get(n, None) or batcher_pairs(n)
     net = _cone_prune(pairs, outputs)
     if n <= 16:  # 2^n exhaustive verification stays cheap
@@ -175,17 +213,19 @@ def selection_network(n: int, outputs):
 
     Returns ``[(i, j, kind)]`` in execution order with kind ``"both"`` (full
     compare-exchange), ``"min"`` (only ``w[i] = min(w[i], w[j])``) or
-    ``"max"`` (only ``w[j] = max(w[i], w[j])``).  Construction: an
-    optimal-size sorting network (Batcher where that is already optimal),
-    backward cone-of-influence pruning to the requested outputs, then
+    ``"max"`` (only ``w[j] = max(w[i], w[j])``).  Construction: a
+    best-known annealed network from :data:`_ANNEALED_SELECT` when one
+    exists for ``(n, outputs)`` (re-verified by the 0-1 principle at
+    load), else an optimal-size sorting network (Batcher where that is
+    already optimal) with backward cone-of-influence pruning followed by
     greedy 0-1-verified demotion/removal of every remaining comparator
     (:func:`_greedy_prune` — each step re-proves the whole network on all
-    ``2**n`` binary inputs, so the result is exact by construction).  For
-    the fused flagger's parity-fill median (outputs ``{6, 7}`` at width
-    13) this yields 67 vector ops vs 96 for the full sort and 73 for the
-    cone-pruned Batcher construction; for the masked median's lower half
-    (outputs ``0..n//2``) greedy demotion finds nothing beyond the cone
-    (78 ops).  Results are cached per ``(n, outputs)``.
+    ``2**n`` binary inputs, so every result is exact by construction).
+    For the fused flagger's parity-fill median (outputs ``{6, 7}`` at
+    width 13) the annealed network is 61 vector ops vs 96 for the full
+    sort, 73 cone-pruned and 67 greedy; the masked median's lower half
+    (outputs ``0..6``) is 72 vs 78.  Results are cached per
+    ``(n, outputs)``.
     """
     return list(_selection_network_cached(n, tuple(outputs)))
 
