@@ -5,9 +5,11 @@ fill.mako:26-32.  On TPU a fill is a single XLA broadcast — there is no
 tuning dimension at all (the reference tunes a work-group size,
 fill.py:70-82, a knob that does not exist under XLA), so this template has
 **no autotune**: the ``tuning`` argument is accepted for signature parity
-and ignored.  Padding is filled too, as in the reference ("The pad elements
-are also filled with this value"): the op produces its slot's *padded*
-shape internally and crops, which XLA folds away.
+and ignored.  The reference additionally fills the pad elements
+(fill.mako:26-32, "The pad elements are also filled with this value");
+here the op fills exactly the *logical* shape: XLA owns physical layout,
+so padding is not addressable and its contents are unobservable — the
+reference's padded-fill guarantee is vacuously met.
 """
 
 from typing import Any, Mapping, Optional, Sequence

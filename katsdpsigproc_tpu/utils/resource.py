@@ -40,29 +40,18 @@ def wait_for_events(events: List) -> None:
 
 async def wait_until(future: Awaitable[_T], when: float,
                      loop: Optional[asyncio.AbstractEventLoop] = None) -> _T:
-    """Like :func:`asyncio.wait_for`, but with an absolute timeout
-    (reference resource.py:31-56)."""
+    """Like :func:`asyncio.wait_for`, but with an absolute deadline.
 
-    def ready(*args) -> None:
-        if not waiter.done():
-            waiter.set_result(None)
-
+    ``when`` is a time on the event loop's clock (``loop.time()``); the same
+    contract as the reference (resource.py:31-56), expressed here as a
+    loop-time delta handed to :func:`asyncio.wait_for` (which cancels the
+    future and raises :class:`asyncio.TimeoutError` at the deadline).
+    """
     if loop is None:
         loop = asyncio.get_event_loop()
-    waiter: "asyncio.Future[None]" = asyncio.Future(loop=loop)
-    timeout_handle = loop.call_at(when, ready)
-    future = asyncio.ensure_future(future, loop=loop)
-    future.add_done_callback(ready)
-    try:
-        await waiter
-        if future.done():
-            return future.result()
-        else:
-            future.remove_done_callback(ready)
-            future.cancel()
-            raise asyncio.TimeoutError()
-    finally:
-        timeout_handle.cancel()
+    pending = asyncio.ensure_future(future, loop=loop)
+    remaining = when - loop.time()
+    return await asyncio.wait_for(pending, max(0.0, remaining))
 
 
 async def async_wait_for_events(events: Iterable,
@@ -168,22 +157,33 @@ class JobQueue:
 
     def clean(self) -> None:
         """Remove completed jobs from the front, re-raising their exceptions."""
-        while self._jobs and self._jobs[0].done():
-            self._jobs.popleft().result()
+        while self._jobs:
+            head = self._jobs[0]
+            if not head.done():
+                break
+            self._jobs.popleft()
+            head.result()  # propagates a failed job's exception
 
     async def finish(self, max_remaining: int = 0) -> None:
-        """Wait until at most `max_remaining` jobs are outstanding."""
-        while len(self._jobs) > max_remaining:
-            await self._jobs.popleft()
+        """Wait until at most `max_remaining` jobs are outstanding.
+
+        The queue length is re-checked after every await, so jobs added
+        concurrently (while this coroutine is suspended) are also drained.
+        """
+        while True:
+            if len(self._jobs) <= max_remaining:
+                return
+            head = self._jobs.popleft()
+            await head
 
     def __len__(self) -> int:
         return len(self._jobs)
 
     def __bool__(self) -> bool:
-        return bool(self._jobs)
+        return len(self._jobs) > 0
 
     def __contains__(self, item: asyncio.Future) -> bool:
-        return item in self._jobs
+        return any(job is item for job in self._jobs)
 
 
 __all__ = [
