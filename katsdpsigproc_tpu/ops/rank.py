@@ -204,6 +204,12 @@ def _selection_network_cached(n: int, outputs):
     pairs = _OPTIMAL_SORT.get(n, None) or batcher_pairs(n)
     net = _cone_prune(pairs, outputs)
     if n <= 16:  # 2^n exhaustive verification stays cheap
+        # Guard the hand-entered _OPTIMAL_SORT tables the same way the
+        # annealed entries are guarded: verify the cone-pruned base before
+        # greedy pruning, falling back to Batcher (correct by construction)
+        # if a table typo ever ships an invalid network.
+        if not _verify_01(n, net, outputs):
+            net = _cone_prune(batcher_pairs(n), outputs)
         net = _greedy_prune(n, net, outputs)
     return net
 
