@@ -216,7 +216,8 @@ def to_planar(vis, leading: bool = False):
 
 
 def background_median_filter(vis, flags, width: int, is_amplitude: bool,
-                             use_flags: BackgroundFlags, engine: str = "network"):
+                             use_flags: BackgroundFlags, engine: str = "network",
+                             fast_path: Optional[bool] = None):
     """Deviations from a windowed-median background (channels, baselines).
 
     Semantics follow the reference kernel (background_median_filter.mako):
@@ -227,8 +228,18 @@ def background_median_filter(vis, flags, width: int, is_amplitude: bool,
     `engine` selects the windowed-median engine (see
     :func:`masked_median_filter`) — the tuning dimension of
     :class:`BackgroundMedianFilterDeviceTemplate`.
+
+    ``fast_path`` gates the no-input-flags edge-fill fast path (which
+    skips the valid-count pass, rank selection, and NaN post-fill).  The
+    two paths are bit-identical; the fast path is a pure op reduction
+    that A/Bs differently per consuming engine (round 3 fastpath_ab:
+    +8.2% for the fused Pallas kernel's analogue, −3% under the XLA
+    engine), so callers gate it per engine.  ``None`` keeps it on where
+    applicable.
     """
-    if not is_amplitude and use_flags == BackgroundFlags.NONE:
+    if fast_path is None:
+        fast_path = True
+    if fast_path and not is_amplitude and use_flags == BackgroundFlags.NONE:
         # Statically NaN-free input: the edge-fill fast path skips the
         # valid-count pass, the rank selection, and the NaN post-fill.
         amp = amplitude(vis)
@@ -349,6 +360,7 @@ def make_flagger_fn(
     pallas_kw: Optional[dict] = None,
     layout: str = "straight",
     block_impl: str = "pad",
+    background_fast: Optional[bool] = None,
 ):
     """Build the fused single-device flagger: one jitted fn, zero HBM round-trips
     for intermediates beyond what XLA chooses.
@@ -389,9 +401,19 @@ def make_flagger_fn(
         raise ValueError("engine='hybrid' implements threshold='sum' only")
     if layout not in ("transposed", "straight"):
         raise ValueError(f"unknown layout {layout!r}")
+    if background_fast is None:
+        # Round-3 in-process A/B (scripts/fastpath_ab.py): the edge-fill
+        # fast path is a win inside the fused Pallas kernel but measured
+        # −3% under the XLA background (the full-block op count is not
+        # the cost currency here), so the XLA-background engines default
+        # to the general path.  Bit-identical either way.
+        background_fast = False
 
     def block_fn(vis, input_flags=None):
-        deviations = background_median_filter(vis, input_flags, width, is_amplitude, use_flags)
+        deviations = background_median_filter(
+            vis, input_flags, width, is_amplitude, use_flags,
+            fast_path=background_fast,
+        )
         if engine == "hybrid":
             from . import pallas_flagger
 

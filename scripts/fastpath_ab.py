@@ -62,11 +62,15 @@ def main():
             jnp.swapaxes(v, 0, 1), slab=args.slab, n_sigma=11.0, bb=args.bb,
             channel_flags=zflags)
 
+    # PURE fast-path toggle: same NONE-flags pipeline, only the edge-fill
+    # fast path switched (background_fast).  The earlier CHANNEL-flags
+    # "general" leg conflated the toggle with extra mask arithmetic.
     xla_fast = rfi_device.make_flagger_fn(
-        13, 11.0, threshold="sum", baseline_block=min(args.slab, args.baselines))
+        13, 11.0, threshold="sum", baseline_block=min(args.slab, args.baselines),
+        background_fast=True)
     xla_general = rfi_device.make_flagger_fn(
         13, 11.0, threshold="sum", baseline_block=min(args.slab, args.baselines),
-        use_flags=rfi_device.BackgroundFlags.CHANNEL)
+        background_fast=False)
 
     # parity first (zero flags must not change the masks)
     a = np.asarray(pallas_fast(vis))
@@ -74,7 +78,7 @@ def main():
     print(f"pallas parity fast-vs-general: {(a != b).sum()} mismatches", file=sys.stderr)
     assert (a == b).all()
     c = np.asarray(xla_fast(vis))
-    d = np.asarray(xla_general(vis, zflags))
+    d = np.asarray(xla_general(vis))
     print(f"xla parity fast-vs-general: {(c != d).sum()} mismatches", file=sys.stderr)
     assert (c == d).all()
     assert (a.T == c).all(), "pallas vs xla engine mismatch"
@@ -83,7 +87,7 @@ def main():
         ("pallas fast", pallas_fast, (vis,)),
         ("pallas general", pallas_general, (vis,)),
         ("xla fast", xla_fast, (vis,)),
-        ("xla general", lambda v: xla_general(v, zflags), (vis,)),
+        ("xla general", xla_general, (vis,)),
         ("pallas fast (rep)", pallas_fast, (vis,)),
     ]:
         dt = time_scan(fn, fargs, iters=args.iters)
