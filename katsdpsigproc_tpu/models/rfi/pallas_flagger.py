@@ -105,8 +105,16 @@ def _vis_dims(vis_t, layout: str):
     corner-turn copy precedes the kernel.
     """
     if layout == "trailing":
+        if vis_t.ndim != 3 or vis_t.shape[-1] != 2:
+            raise ValueError(
+                f"layout='trailing' expects (baselines, channels, 2), got {vis_t.shape}"
+            )
         return vis_t.shape[0], vis_t.shape[1]
     if layout == "leading":
+        if vis_t.ndim != 3 or vis_t.shape[0] != 2:
+            raise ValueError(
+                f"layout='leading' expects (2, baselines, channels), got {vis_t.shape}"
+            )
         return vis_t.shape[1], vis_t.shape[2]
     raise ValueError("layout must be 'trailing' or 'leading'")
 
@@ -295,7 +303,7 @@ def _median_parity_fill(amp, col, width: int, channels: int, interpret: bool):
 
 
 def _madnz_band(absdev, g, h: int, channels: int, interpret: bool,
-                rank_radix: int = 1, rank_pair: bool = False):
+                rank_radix: int = 1, rank_pair=False, zeros_fold: bool = False):
     """MAD of non-zero |deviations| per band of (R, W); result per row (R, 1).
 
     NaN entries (fold padding) are absent: they count in neither the rank
@@ -313,7 +321,15 @@ def _madnz_band(absdev, g, h: int, channels: int, interpret: bool,
     cur|hi|lo) — the three compare/count chains are mutually independent,
     so the reduce→matmul→select dependency path is 16 stages instead of
     31 (a latency, not throughput, optimization; the two same-step row
-    counts ride ONE i32 reduce, packed 16+16).
+    counts ride ONE i32 reduce, packed 16+16).  ``rank_pair="f32"`` packs
+    the hi/both per-row counts as a scaled f32 sum instead (hi +
+    4096·both — exact: per-row counts ≤ W < 4096 and the pack < 2²⁴),
+    replacing the i32 reduce + field ops with one f32 fma + reduce.
+
+    ``zeros_fold`` merges the zeros-count sweep into the first rank round
+    (bit 30's candidate is independent of ``target``): one packed f32
+    indicator pass instead of two separate count sweeps — a strict data-
+    pass reduction (32 → 31 sweeps).
     """
     if rank_radix not in (1, 2, 3, 4):
         # 2**radix - 1 candidate counts per round: beyond 4 bits the
@@ -322,7 +338,38 @@ def _madnz_band(absdev, g, h: int, channels: int, interpret: bool,
         raise ValueError("rank_radix must be 1..4")
     if rank_pair and rank_radix != 1:
         raise ValueError("rank_pair applies to the binary (radix 1) search")
-    zeros = _band_sum(g, jnp.sum((absdev == 0).astype(jnp.float32), axis=1, keepdims=True))
+    if rank_pair and absdev.shape[1] >= 1 << 16:
+        # count_pair packs two per-row counts into one int32 with 16-bit
+        # fields; rows of >= 65536 lanes would overflow the low field.
+        raise ValueError(
+            f"rank_pair requires lane width < 65536, got {absdev.shape[1]}"
+        )
+    # f32 packing scale: per-row counts ≤ W ≤ 1024 < 4096, and the packed
+    # value < 4096·1024 + 1024 < 2²⁴, so both fields are exact in f32.
+    _SCALE = jnp.float32(4096.0)
+    if (rank_pair == "f32" or zeros_fold) and absdev.shape[1] >= 4096:
+        raise ValueError(
+            f"f32 count packing requires lane width < 4096, got {absdev.shape[1]}"
+        )
+
+    def _unpack_rows(prow):
+        """(lo + 4096·hi) per-row pack → (lo, hi), both (R, 1) f32."""
+        hi = jnp.floor(prow * (1.0 / 4096.0))
+        return prow - _SCALE * hi, hi
+
+    if zeros_fold:
+        if rank_pair or rank_radix != 1:
+            raise ValueError("zeros_fold applies to the plain binary search")
+        # Bit 30's candidate does not depend on `target`, so its count
+        # shares one packed indicator pass with the zeros count.
+        cand30 = lax.bitcast_convert_type(jnp.int32(1) << 30, jnp.float32)
+        ind = ((absdev == 0).astype(jnp.float32)
+               + _SCALE * (absdev < cand30).astype(jnp.float32))
+        zer_rows, c30_rows = _unpack_rows(jnp.sum(ind, axis=1, keepdims=True))
+        zeros = _band_sum(g, zer_rows)
+        c30 = _band_sum(g, c30_rows)
+    else:
+        zeros = _band_sum(g, jnp.sum((absdev == 0).astype(jnp.float32), axis=1, keepdims=True))
     rank2 = jnp.float32(channels) + zeros
     target = jnp.floor(rank2 * 0.5)
     halfway = rank2 - 2.0 * target == 0
@@ -340,14 +387,25 @@ def _madnz_band(absdev, g, h: int, channels: int, interpret: bool,
         # the hi/combined indicator row-counts share one packed i32 lane
         # reduce (per-row counts <= W = 1024 < 2^16 per field; band totals
         # <= 32k < 2^16 after the f32 matmuls on the unpacked halves).
-        def count_pair(t_hi, t_both):
-            ind = (absdev < lax.bitcast_convert_type(t_hi, jnp.float32)).astype(jnp.int32)
-            ind = ind + ((absdev < lax.bitcast_convert_type(t_both, jnp.float32))
-                         .astype(jnp.int32) << 16)
-            packed = jnp.sum(ind, axis=1, keepdims=True)
-            c_hi = _band_sum(g, (packed & 0xFFFF).astype(jnp.float32))
-            c_both = _band_sum(g, (packed >> 16).astype(jnp.float32))
-            return c_hi, c_both
+        if rank_pair == "f32":
+            # Same shared-reduce idea in pure f32: one fma + one f32 lane
+            # reduce instead of the i32 reduce + field masks/shifts/casts.
+            def count_pair(t_hi, t_both):
+                ind = ((absdev < lax.bitcast_convert_type(t_hi, jnp.float32))
+                       .astype(jnp.float32)
+                       + _SCALE * (absdev < lax.bitcast_convert_type(t_both, jnp.float32))
+                       .astype(jnp.float32))
+                hi_rows, both_rows = _unpack_rows(jnp.sum(ind, axis=1, keepdims=True))
+                return _band_sum(g, hi_rows), _band_sum(g, both_rows)
+        else:
+            def count_pair(t_hi, t_both):
+                ind = (absdev < lax.bitcast_convert_type(t_hi, jnp.float32)).astype(jnp.int32)
+                ind = ind + ((absdev < lax.bitcast_convert_type(t_both, jnp.float32))
+                             .astype(jnp.int32) << 16)
+                packed = jnp.sum(ind, axis=1, keepdims=True)
+                c_hi = _band_sum(g, (packed & 0xFFFF).astype(jnp.float32))
+                c_both = _band_sum(g, (packed >> 16).astype(jnp.float32))
+                return c_hi, c_both
 
         def pair_body(i, carry):
             cur, r_cur = carry
@@ -386,10 +444,19 @@ def _madnz_band(absdev, g, h: int, channels: int, interpret: bool,
             take = r <= target
             return jnp.where(take, test, cur), jnp.where(take, r, r_cur)
 
-        cur, r = lax.fori_loop(
-            0, 31, body,
-            (jnp.zeros(target.shape, jnp.int32), jnp.zeros(target.shape, jnp.float32)),
-        )
+        if zeros_fold:
+            # round 0 (bit 30) was resolved in the packed zeros pass
+            take30 = c30 <= target
+            init = (
+                jnp.where(take30, jnp.int32(1) << 30, 0),
+                jnp.where(take30, c30, jnp.zeros(target.shape, jnp.float32)),
+            )
+            cur, r = lax.fori_loop(1, 31, body, init)
+        else:
+            cur, r = lax.fori_loop(
+                0, 31, body,
+                (jnp.zeros(target.shape, jnp.int32), jnp.zeros(target.shape, jnp.float32)),
+            )
     else:
         # Positive floats (and NaN, whose pattern exceeds any finite
         # positive) order as int32 (cf. ops/rank.py round_ invariant).
@@ -526,15 +593,25 @@ def _flagger_kernel_multi(*refs, nref: int, width: int, n_sigma: float,
 
 def _flagger_body(vis_ref, in_flags_ref, flags_ref, *, width: int, n_sigma: float,
                   n_windows: int, falloff: float, flag_value: int, channels: int,
-                  h: int, flags_mode: str, interpret: bool, rank_radix: int = 1):
+                  h: int, flags_mode: str, interpret: bool, rank_radix: int = 1,
+                  ingest: str = "planar"):
     use_flags = flags_mode != "none"
-    # Planar-LEADING block (2, R, W): re/im each load as a full (R, W)
-    # lane-aligned tile.  (A trailing (R, W, 2) block would make the
-    # size-2 re/im axis the LANE dimension — 2/128 lane occupancy and a
-    # Mosaic-rejected lane slice on the DMA path.)
-    re = vis_ref[0]
-    im = vis_ref[1]
-    amp = jnp.sqrt(re * re + im * im)  # (R, W)
+    if ingest == "amp":
+        # Amplitude precomputed upstream (XLA): the kernel streams 4 B/vis
+        # instead of the 8 B/vis planar pair, and the band fold of a
+        # baseline-major (B, C) amplitude is a FREE reshape — no planar
+        # corner turn exists at all.  Bit-identical: the XLA engine's
+        # sqrt(re²+im²) already matches this kernel's on-chip (bench
+        # cross-engine parity).
+        amp = vis_ref[...]
+    else:
+        # Planar-LEADING block (2, R, W): re/im each load as a full (R, W)
+        # lane-aligned tile.  (A trailing (R, W, 2) block would make the
+        # size-2 re/im axis the LANE dimension — 2/128 lane occupancy and a
+        # Mosaic-rejected lane slice on the DMA path.)
+        re = vis_ref[0]
+        im = vis_ref[1]
+        amp = jnp.sqrt(re * re + im * im)  # (R, W)
     rows, ww = amp.shape
     col = (
         (lax.broadcasted_iota(jnp.int32, amp.shape, 0) % h) * ww
@@ -832,13 +909,13 @@ class FusedFlaggerTemplate:
 @functools.partial(
     jax.jit,
     static_argnames=("slab", "width", "n_sigma", "n_windows", "falloff", "flag_value", "bb",
-                     "fold", "interpret", "nref", "pipeline", "layout"),
+                     "fold", "interpret", "nref", "pipeline", "layout", "ingest"),
 )
 def flag_dump(vis_t, input_flags=None, slab: int = 256, width: int = 13,
               n_sigma: float = 11.0, n_windows: int = 4, falloff: float = 1.2,
               flag_value: int = 1, bb: int = 1, fold: int = 1024, interpret: bool = False,
               channel_flags=None, nref: int = 1, pipeline: str = "grid",
-              layout: str = "trailing"):
+              layout: str = "trailing", ingest: str = "planar"):
     """Flag a large dump by slabs of baselines, as ONE program.
 
     The remote Mosaic AOT service fails on very large grid/buffer sizes
@@ -854,8 +931,10 @@ def flag_dump(vis_t, input_flags=None, slab: int = 256, width: int = 13,
                   flag_value=flag_value, bb=bb, fold=fold, interpret=interpret,
                   channel_flags=channel_flags, layout=layout)
     if pipeline == "dma":
-        slab_fn = flag_transposed_dma  # one grid step per slab
+        slab_fn = functools.partial(flag_transposed_dma, ingest=ingest)
     else:
+        if ingest != "planar":
+            raise ValueError("ingest='amp' is a pipeline='dma' feature")
         slab_fn = functools.partial(flag_transposed, nref=nref)
     baselines, channels = _vis_dims(vis_t, layout)
     if baselines <= slab:
@@ -1060,12 +1139,19 @@ def _flagger_kernel_dma(*refs, n_blocks: int, block_rows: int, fold: int,
         cf_ref = None
         if_hbm = None
 
-    # vis stream: planar-leading (2, R, W) HBM layout, blocks cut on the
-    # row (sublane) axis — the lane axis W is never sliced.
-    ins = [(
-        lambda idx: vis_hbm.at[:, pl.ds(idx * block_rows, block_rows)],
-        (2, block_rows, fold), jnp.float32,
-    )]
+    if algo_kw.get("ingest", "planar") == "amp":
+        # amplitude stream: (R, W) f32, half the planar traffic
+        ins = [(
+            lambda idx: vis_hbm.at[pl.ds(idx * block_rows, block_rows)],
+            (block_rows, fold), jnp.float32,
+        )]
+    else:
+        # vis stream: planar-leading (2, R, W) HBM layout, blocks cut on the
+        # row (sublane) axis — the lane axis W is never sliced.
+        ins = [(
+            lambda idx: vis_hbm.at[:, pl.ds(idx * block_rows, block_rows)],
+            (2, block_rows, fold), jnp.float32,
+        )]
     if if_hbm is not None:
         ins.append((
             lambda idx: if_hbm.at[pl.ds(idx * block_rows, block_rows)],
@@ -1163,13 +1249,13 @@ def _dma_block_loop(ins, outs, per_block, *, n_blocks: int):
 @functools.partial(
     jax.jit,
     static_argnames=("width", "n_sigma", "n_windows", "falloff", "flag_value", "bb",
-                     "fold", "interpret", "rank_radix", "layout"),
+                     "fold", "interpret", "rank_radix", "layout", "ingest"),
 )
 def flag_transposed_dma(vis_t, input_flags=None, width: int = 13, n_sigma: float = 11.0,
                         n_windows: int = 4, falloff: float = 1.2, flag_value: int = 1,
                         bb: int = 1, fold: int = 1024, interpret: bool = False,
                         channel_flags=None, rank_radix: int = 1,
-                        layout: str = "trailing"):
+                        layout: str = "trailing", ingest: str = "planar"):
     """:func:`flag_transposed` with the in-kernel DMA pipeline.
 
     Same semantics and band-folded layout; the block loop runs INSIDE one
@@ -1177,14 +1263,33 @@ def flag_transposed_dma(vis_t, input_flags=None, width: int = 13, n_sigma: float
     dispatch overhead is paid once per slab instead of once per block.
     FULL-mode input flags ride a second double-buffered DMA stream;
     CHANNEL-mode flags ride a small VMEM input shared by every block.
+
+    ``ingest="amp"`` computes the amplitude in XLA (fused into the
+    producing pass) and streams (R, W) float32 amplitudes instead of the
+    (2, R, W) planar pair: half the kernel read traffic, and the band
+    fold becomes a free reshape (no corner-turn copy) since the
+    amplitude has no plane axis.  Bit-identical flags.
     """
     if input_flags is not None and channel_flags is not None:
         raise ValueError("pass either input_flags (FULL) or channel_flags (CHANNEL), not both")
+    if ingest not in ("planar", "amp"):
+        raise ValueError(f"unknown ingest {ingest!r}")
     baselines, channels = _vis_dims(vis_t, layout)
     if pltpu is None:
         raise RuntimeError("flag_transposed_dma needs jax.experimental.pallas.tpu")
     fold, hh, padded_c = _fold_setup(channels, bb, fold, baselines)
-    folded = _fold_vis(vis_t, layout, baselines, hh, fold, padded_c, channels)
+    if ingest == "amp":
+        if layout == "trailing":
+            re, im = vis_t[..., 0], vis_t[..., 1]
+        else:
+            re, im = vis_t[0], vis_t[1]
+        amp2d = jnp.sqrt(re * re + im * im)  # (B, C)
+        if padded_c != channels:
+            # padding columns never enter valid window members (col masks)
+            amp2d = jnp.pad(amp2d, ((0, 0), (0, padded_c - channels)))
+        folded = amp2d.reshape(baselines * hh, fold)
+    else:
+        folded = _fold_vis(vis_t, layout, baselines, hh, fold, padded_c, channels)
     if padded_c != channels:
         if channel_flags is not None:
             channel_flags = jnp.pad(channel_flags, ((0, padded_c - channels),))
@@ -1204,6 +1309,7 @@ def flag_transposed_dma(vis_t, input_flags=None, width: int = 13, n_sigma: float
         flags_mode=flags_mode,
         interpret=interpret,
         rank_radix=rank_radix,
+        ingest=ingest,
     )
     kernel = functools.partial(
         _flagger_kernel_dma, n_blocks=n_blocks, block_rows=block_rows, fold=fold,

@@ -194,6 +194,7 @@ def make_sharded_fused_flagger(
     pipeline: str = "grid",
     interpret: bool = False,
     axis_name: Optional[str] = None,
+    ingest: str = "planar",
 ):
     """The fused single-kernel Pallas flagger, sharded over baselines.
 
@@ -220,7 +221,7 @@ def make_sharded_fused_flagger(
 
     kw = dict(slab=slab, width=width, n_sigma=n_sigma, n_windows=n_windows,
               falloff=threshold_falloff, flag_value=flag_value, bb=bb,
-              pipeline=pipeline, interpret=interpret)
+              pipeline=pipeline, interpret=interpret, ingest=ingest)
 
     def local(vis_t, input_flags=None):
         return pallas_flagger.flag_dump(vis_t, input_flags, **kw)

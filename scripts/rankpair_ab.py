@@ -40,7 +40,7 @@ except ImportError:  # pragma: nocover
     _VMEM = None
 
 
-def make(rank_pair: bool, *, B, C, fold, bb, interpret):
+def make(variant_kw: dict, *, B, C, fold, bb, interpret):
     hh = -(-C // fold)
     block_rows = bb * hh
 
@@ -53,8 +53,7 @@ def make(rank_pair: bool, *, B, C, fold, bb, interpret):
         g = pf._band_matrix(rows, hh)
         med = pf._median_parity_fill(amp, col, 13, C, interpret)
         dev = amp - med
-        noise = pf._madnz_band(jnp.abs(dev), g, hh, C, interpret,
-                               rank_pair=rank_pair)
+        noise = pf._madnz_band(jnp.abs(dev), g, hh, C, interpret, **variant_kw)
         flags = pf._threshold_sum_band(dev, noise, col, C, 11.0, 4, 1.2, interpret)
         flags_ref[:, :] = flags.astype(jnp.int32).astype(jnp.uint8)
 
@@ -98,12 +97,18 @@ def main():
 
     kw = dict(B=args.baselines, C=args.channels, fold=args.fold, bb=args.bb,
               interpret=args.interpret)
-    runs = {"binary": make(False, **kw), "paired": make(True, **kw)}
+    runs = {
+        "binary": make({}, **kw),
+        "pair_i32": make({"rank_pair": True}, **kw),
+        "pair_f32": make({"rank_pair": "f32"}, **kw),
+        "zeros_fold": make({"zeros_fold": True}, **kw),
+    }
     outs = {n: np.asarray(f(vis)) for n, f in runs.items()}
-    if not np.array_equal(outs["binary"], outs["paired"]):
-        print("PARITY MISMATCH", file=sys.stderr)
-        sys.exit(1)
-    print("parity: paired == binary (bit-exact)", file=sys.stderr)
+    for n in runs:
+        if not np.array_equal(outs["binary"], outs[n]):
+            print(f"PARITY MISMATCH: {n}", file=sys.stderr)
+            sys.exit(1)
+    print("parity: all variants == binary (bit-exact)", file=sys.stderr)
 
     times = {n: [] for n in runs}
     for _ in range(args.reps):

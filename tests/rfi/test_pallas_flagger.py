@@ -155,6 +155,7 @@ def test_flag_dump_with_flags():
 
 
 @pytest.mark.parametrize("mode", ["none", "full", "channel"])
+@pytest.mark.slow
 def test_nref_multi_block(mode):
     """nref>1 (multiple refs per grid step) matches the single-ref kernel."""
     vis, _, input_flags = rfi_test_data(shape=(256, 32), seed=11)
@@ -299,6 +300,7 @@ def test_flag_dump_dma_pipeline_slabs():
 
 
 @pytest.mark.parametrize("radix", [2, 3, 4])
+@pytest.mark.slow
 def test_rank_radix_matches_binary(radix):
     """The in-kernel multi-bit rank search (rank_radix > 1) is bit-identical
     to the 31-round binary search, including NaN padding and ties."""
@@ -323,6 +325,7 @@ def test_rank_radix_validation():
         pallas_flagger.flag_transposed(vis_t, bb=8, interpret=True, rank_radix=8)
 
 
+@pytest.mark.slow
 def test_leading_layout_matches_trailing():
     """layout="leading" ((2, B, C) planar-leading input, free band-fold
     reshape) produces bit-identical flags through flag_transposed, the
@@ -376,3 +379,56 @@ def test_rank_pair_matches_binary():
     np.testing.assert_array_equal(paired, base)
     with pytest.raises(ValueError, match="rank_pair"):
         _madnz_band(x, g, h, channels, True, rank_radix=2, rank_pair=True)
+
+
+@pytest.mark.slow
+def test_amp_ingest_matches_planar():
+    """ingest='amp' (XLA amplitude + free band-fold reshape, the DMA
+    engine streaming 4 B/vis) is bit-identical to the planar pipeline in
+    every flags mode and through the slab scan."""
+    vis, _, input_flags = rfi_test_data(shape=(96, 16), seed=9)
+    vis_t = jnp.asarray(np.moveaxis(rfi_device.to_planar(vis), 0, 1))
+    kw = dict(bb=8, interpret=True)
+    base = np.asarray(pallas_flagger.flag_transposed_dma(vis_t, **kw))
+    amp = np.asarray(pallas_flagger.flag_transposed_dma(vis_t, ingest="amp", **kw))
+    np.testing.assert_array_equal(amp, base)
+    f_t = jnp.asarray(input_flags.T.astype(np.uint8))
+    np.testing.assert_array_equal(
+        np.asarray(pallas_flagger.flag_transposed_dma(vis_t, f_t, ingest="amp", **kw)),
+        np.asarray(pallas_flagger.flag_transposed_dma(vis_t, f_t, **kw)))
+    cf = jnp.asarray(input_flags[:, 0].astype(np.uint8))
+    np.testing.assert_array_equal(
+        np.asarray(pallas_flagger.flag_transposed_dma(
+            vis_t, channel_flags=cf, ingest="amp", **kw)),
+        np.asarray(pallas_flagger.flag_transposed_dma(vis_t, channel_flags=cf, **kw)))
+    np.testing.assert_array_equal(
+        np.asarray(pallas_flagger.flag_dump(
+            vis_t, slab=8, pipeline="dma", ingest="amp", **kw)),
+        base)
+    with pytest.raises(ValueError, match="ingest"):
+        pallas_flagger.flag_dump(vis_t, slab=8, ingest="amp", interpret=True)
+
+
+def test_rank_variants_match_binary():
+    """The f32-packed pair search and the zeros-folded first round are
+    bit-identical to the plain binary search (zeros, halfway ties, NaN
+    fold padding all in play)."""
+    from katsdpsigproc_tpu.models.rfi.pallas_flagger import _band_matrix, _madnz_band
+
+    rs = np.random.RandomState(12)
+    h, w, bands = 4, 256, 3
+    rows = h * bands
+    col = (np.arange(rows)[:, None] % h) * w + np.arange(w)[None, :]
+    g = _band_matrix(rows, h)
+    for channels in (h * w - 40, h * w - 41):  # even + odd valid counts
+        absdev = np.abs(rs.standard_normal((rows, w))).astype(np.float32)
+        absdev[rs.random_sample(absdev.shape) < 0.05] = 0.0
+        absdev[col >= channels] = np.nan
+        x = jnp.asarray(absdev)
+        base = np.asarray(_madnz_band(x, g, h, channels, True))
+        np.testing.assert_array_equal(
+            np.asarray(_madnz_band(x, g, h, channels, True, rank_pair="f32")), base)
+        np.testing.assert_array_equal(
+            np.asarray(_madnz_band(x, g, h, channels, True, zeros_fold=True)), base)
+    with pytest.raises(ValueError, match="zeros_fold"):
+        _madnz_band(x, g, h, channels, True, zeros_fold=True, rank_radix=2)
