@@ -224,12 +224,19 @@ def bench_config4(args):
          (n * 9 / dt) / (TARGET_FRACTION * hbm * 1e9))
 
 
-def _probe_device(timeout_s: float = 180.0):
+def _probe_device(timeout_s: float = 180.0, attempts: int = 3,
+                  retry_wait_s: float = 300.0):
     """Fail fast (exit 3) if the device cannot run a trivial op.
 
     The tunneled TPU backend hangs indefinitely when the remote side is
     down; without this probe the driver's round-end bench run would
     block for hours with no output instead of reporting the outage.
+
+    The tunnel outages are often transient (rounds 1 and 3 both lost
+    their driver-captured number to a single-probe abort), so the probe
+    retries: `attempts` probes, `retry_wait_s` apart, each logged.  A
+    probe thread that hung earlier may complete during a later wait —
+    any completion counts.
     """
     import threading
 
@@ -242,18 +249,33 @@ def _probe_device(timeout_s: float = 180.0):
         np.asarray(jnp.sum(jnp.ones((8, 128)) * 3.0))
         done.set()
 
-    t = threading.Thread(target=trivial, daemon=True)
-    t.start()
-    if not done.wait(timeout_s):
-        log(f"ERROR: device unreachable — a trivial op did not complete in "
-            f"{timeout_s:.0f}s (tunneled backend down?). Aborting bench.")
-        os._exit(3)
+    for attempt in range(1, attempts + 1):
+        t = threading.Thread(target=trivial, daemon=True)
+        t.start()
+        if done.wait(timeout_s):
+            if attempt > 1:
+                log(f"device probe succeeded on attempt {attempt}")
+            return
+        log(f"device probe attempt {attempt}/{attempts}: no completion in "
+            f"{timeout_s:.0f}s (tunneled backend down?)"
+            + (f"; retrying in {retry_wait_s:.0f}s" if attempt < attempts else ""))
+        if attempt < attempts and done.wait(retry_wait_s):
+            log(f"device probe completed during the retry wait (attempt {attempt})")
+            return
+    log(f"ERROR: device unreachable — {attempts} probes over "
+        f"{(attempts * timeout_s + (attempts - 1) * retry_wait_s) / 60:.0f} min "
+        f"all failed. Aborting bench.")
+    os._exit(3)
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--channels", type=int, default=32768)
     parser.add_argument("--baselines", type=int, default=2016)
+    parser.add_argument("--pols", type=int, default=1,
+                        help="polarizations per baseline; the dump is "
+                             "pol-flattened to baselines*pols independent "
+                             "rows (BASELINE.json config 5 is 4 pols)")
     parser.add_argument("--width", type=int, default=13)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--bb", type=int, default=8, help="Pallas baselines-per-block")
@@ -296,6 +318,13 @@ def main():
     device = jax.devices()[0]
     log(f"device: {device} ({device.device_kind})")
     hbm = next((v for k, v in HBM_GBPS.items() if k in device.device_kind), DEFAULT_HBM_GBPS)
+    if args.pols > 1:
+        # Each polarization is an independent spectrum: the flagger treats
+        # the dump as baselines*pols rows (the reference flags each pol
+        # product as its own baseline column, rfiflagtest.py).
+        log(f"pol-flattening: {args.baselines} baselines x {args.pols} pols "
+            f"-> {args.baselines * args.pols} rows")
+        args.baselines *= args.pols
     # Pallas compiles to Mosaic only on TPU-like platforms; elsewhere
     # (CPU smoke runs) fall back to interpret mode.
     interpret = device.platform == "cpu"
@@ -370,6 +399,9 @@ def main():
             ("pallas_dma", lambda: np.asarray(pallas_flagger.flag_transposed_dma(
                 sub_t, width=args.width, n_sigma=11.0, bb=parity_bb,
                 interpret=interpret)).T),
+            ("pallas_dma_amp", lambda: np.asarray(pallas_flagger.flag_transposed_dma(
+                sub_t, width=args.width, n_sigma=11.0, bb=parity_bb,
+                ingest="amp", interpret=interpret)).T),
             ("hybrid", lambda: np.asarray(hybrid_parity_fn(jnp.asarray(planar)))),
             ("hybrid_dma", lambda: np.asarray(hybrid_dma_parity_fn(jnp.asarray(planar)))),
         ]
@@ -416,6 +448,17 @@ def main():
             ),
             vis_xla,
         )),
+        # Amp ingest: |vis| computed in XLA (inside the timed jit, same
+        # channel-major input contract), the kernel streams 4 B/vis and
+        # the band fold is a free reshape — no planar corner turn.
+        ("pallas_dma_amp", lambda: timer(
+            lambda v: pallas_flagger.flag_dump(
+                jnp.swapaxes(v, 0, 1), slab=slab, width=args.width,
+                n_sigma=11.0, bb=args.bb, pipeline="dma", ingest="amp",
+                interpret=interpret,
+            ),
+            vis_xla,
+        )),
     ]
     timing_runs += [
         ("hybrid", lambda: timer(hybrid_fn, vis_xla)),
@@ -442,9 +485,11 @@ def main():
     try:
         vis_leading = jnp.moveaxis(jnp.swapaxes(vis_xla, 0, 1), -1, 0)
         vis_leading.block_until_ready()
+        # Same slab as the headline pallas leg, so the A/B isolates the
+        # layout (corner-turn copy) alone, not slab granularity.
         t_lead = timer(
             lambda v: pallas_flagger.flag_dump(
-                v, slab=args.baselines, width=args.width, n_sigma=11.0,
+                v, slab=slab, width=args.width, n_sigma=11.0,
                 bb=args.bb, interpret=interpret, layout="leading"),
             vis_leading,
         )
@@ -467,6 +512,19 @@ def main():
     value = n_vis / dt
     roofline = hbm * 1e9 / BYTES_PER_VIS
     vs_baseline = value / (TARGET_FRACTION * roofline)
+    # The algorithm's compute speed of light: the kernel is VPU-compute
+    # bound (stage ablation, BASELINE_RESULTS.md), so the HBM roofline
+    # above mis-states what "speed of light" means for this exact
+    # pipeline.  vs_compute_roofline reports the fraction of the MINIMUM
+    # vector-op inventory × the measured per-op throughput
+    # (models.rfi.roofline; refresh prim_ns.json via scripts/prim_cost.py).
+    from katsdpsigproc_tpu.models.rfi import roofline as _roofline
+
+    cr = _roofline.compute_roofline(args.baselines, args.channels, width=args.width)
+    log(f"compute roofline: {cr['seconds_per_dump'] * 1e3:.2f} ms/dump "
+        f"({cr['vis_per_second'] / 1e9:.1f} Gvis/s; prim table "
+        f"{'measured' if cr['prim_ns_measured'] else 'DEFAULT estimates'}) — "
+        f"best engine at {value / cr['vis_per_second'] * 100:.1f}% of it")
     # Measured streaming ceiling: this environment's sustained HBM copy
     # rate sits well below datasheet (round 2: 429 vs 819 GB/s nominal),
     # so the roofline fraction is reported against BOTH — the paper number
@@ -506,6 +564,11 @@ def main():
                 "value": value,
                 "unit": "vis/s",
                 "vs_baseline": vs_baseline,
+                "vs_compute_roofline": value / cr["vis_per_second"],
+                "compute_roofline_vis_per_second": cr["vis_per_second"],
+                "compute_roofline_prims_measured": cr["prim_ns_measured"],
+                "rows": args.baselines,
+                "pols": args.pols,
                 "engine": best_name,
                 "engines": engines,
                 **measured,

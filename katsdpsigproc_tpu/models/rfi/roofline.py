@@ -1,0 +1,145 @@
+"""Compute roofline for the exact fused RFI flagger.
+
+BASELINE.md's headline target ("≥80% of HBM roofline") presumes the
+flagger is bandwidth-bound.  Measurement says otherwise: at bb≥8 the
+fused kernel reads 0.26 MB/baseline (≈0.35 µs of HBM time at measured
+rates) but spends ~6 µs/baseline of vector work (BASELINE_RESULTS.md,
+rounds 2-3) — the pipeline is VPU-compute-bound, so the honest speed of
+light is the *algorithm's* minimum vector-op count times the chip's
+measured per-op throughput.  This module computes that number so
+``bench.py`` can report ``vs_compute_roofline`` alongside the HBM-based
+``vs_baseline``.
+
+The inventory below is the MINIMUM full-block vector work any exact
+implementation of the reference pipeline must do per (R, W) band-folded
+block (R = bb·hh rows, W = fold lanes, covering bb baselines × channels
+visibilities).  "Exact" means the reference's semantics bit-for-bit:
+width-13 windowed median background (background_median_filter.mako:
+79-220), MAD noise via the 31-round bitwise IEEE-754 rank search
+(rank.mako:186-231 — 31 rounds are information-theoretically required to
+pin an exact float32 rank by bitwise binary search), and the 4-window
+SumThreshold (threshold_sum.mako:37-132).  Known-cheaper *approximate*
+schemes (histogram medians, sampled ranks) are out of scope: the repo's
+design rule is exact rank statistics.
+
+Primitive cost model: measured per-primitive ns at the headline
+(256, 1024) f32 block from ``scripts/prim_cost.py`` (an in-kernel
+fori_loop chain with an interleaved add to defeat op folding; the
+pure-add baseline is subtracted).  Until an on-chip refresh lands in
+``prim_ns.json``, defaults scale the round-2 measured ~8.5 ns per
+(32, 1024) full-block op (BASELINE_RESULTS.md) by relative op weights.
+"""
+
+import json
+import os
+from typing import Dict, List, Mapping, Optional, Tuple
+
+# Per-primitive cost in ns at a (256, 1024) float32 block.  The "add"
+# entry anchors the scale: 8 × 8.5 ns (the measured (32, 1024) op cost,
+# BASELINE_RESULTS.md round 2; a (256, 1024) op moves 8× the elements).
+# Relative weights for the rest are conservative estimates pending the
+# on-chip ``scripts/prim_cost.py --emit-json`` refresh (which overwrites
+# them with measurements via prim_ns.json).
+DEFAULT_PRIM_NS: Dict[str, float] = {
+    "add": 68.0,        # elementwise add/min/max/or/select-class op
+    "cmp_f32": 136.0,   # compare + i32/f32 convert (the rank-round body)
+    "shift_ch": 204.0,  # band-folded channel shift: 2 lane rolls + select
+    "reduce": 136.0,    # full-block lane reduction to (R, 1) + use
+    "sqrt": 68.0,
+}
+
+_PRIM_JSON = os.path.join(os.path.dirname(__file__), "prim_ns.json")
+
+
+def prim_ns(path: Optional[str] = None) -> Dict[str, float]:
+    """The primitive-cost table: measured (prim_ns.json) over defaults."""
+    table = dict(DEFAULT_PRIM_NS)
+    p = path or _PRIM_JSON
+    try:
+        with open(p) as f:
+            table.update({k: float(v) for k, v in json.load(f).items()
+                          if k in table})
+        table["__measured__"] = 1.0
+    except (OSError, ValueError):
+        pass
+    return table
+
+
+def op_inventory(width: int = 13, n_windows: int = 4,
+                 rank_rounds: int = 31) -> List[Tuple[str, str, int]]:
+    """Minimum full-block vector ops per block: (stage, primitive, count).
+
+    Derivation (width 13, 4 windows, no input flags — the headline
+    configuration):
+
+    - amplitude: ``re² + im²`` (2 mul/fma) + sqrt — 3 ops.
+    - median members: the window's ``width − 1`` shifted copies (the
+      center is the block itself).  Each shift along band-folded
+      channels is the measured ``shift_ch`` primitive (2 lane rolls +
+      cross-band select).  The ±inf edge parity fills are 2 static
+      selects.
+    - median selection: the best-known selection network for sorted
+      ranks {6, 7} of 13 is 61 min/max exchanges
+      (``ops.rank._ANNEALED_SELECT``, 0-1-verified) + 1 subtract.
+    - MAD rank search: ``rank_rounds`` × (compare-convert + cross-lane
+      count).  The per-band count broadcast is (R, hh)-shaped — ≤ 1/W of
+      a full-block op, dropped from the floor.  Plus one zeros-count
+      sweep (round 0) and ~2 ops of halfway/max-below correction.
+    - SumThreshold: per window w ∈ {1, 2, 4, 8}: Kogge-Stone sum ladder
+      (log2 w doubling steps, each shift + add), 1 threshold compare,
+      and log2 w flag-dilation steps (shift + or); window 1 skips the
+      ladders.  Σ = 2 + 6 + 10 + 14 = 32 add-class ops with 6 of the
+      shifts as ``shift_ch``; + 1 noise scale.
+    - output: f32 0/1 → i32 → u8 cast-store, 2 ops.
+    """
+    half_ladders = sum(int(w).bit_length() - 1 for w in
+                       (2 ** i for i in range(n_windows)))  # 0+1+2+3 = 6
+    inv = [
+        ("amplitude", "add", 2),
+        ("amplitude", "sqrt", 1),
+        ("median", "shift_ch", width - 1),
+        ("median", "add", 2),  # edge parity fills
+        ("median", "add", 61 + 1),  # selection network + subtract
+        ("rank", "cmp_f32", rank_rounds + 1),  # rounds + zeros sweep
+        ("rank", "reduce", rank_rounds + 1),
+        ("rank", "add", 2),  # halfway correction
+        ("threshold", "shift_ch", half_ladders),  # sum-ladder shifts
+        ("threshold", "add", half_ladders + n_windows + 1),  # adds+cmps+scale
+        ("threshold", "add", half_ladders * 2),  # dilation shift+or
+        ("output", "add", 2),
+    ]
+    return inv
+
+
+def compute_roofline(baselines: int, channels: int,
+                     width: int = 13, n_windows: int = 4,
+                     prim_table: Optional[Mapping[str, float]] = None,
+                     rows: int = 256) -> Dict[str, float]:
+    """Algorithm speed-of-light for a (baselines × channels) dump.
+
+    Returns seconds per dump, vis/s, and the per-stage ns breakdown per
+    block.  Block geometry matches the shipped kernel: (rows, 1024)
+    band-folded blocks (the primitive costs were measured at that shape;
+    per-vis cost is shape-invariant once the VPU is saturated — the flat
+    slab sweep, BASELINE_RESULTS.md round 3).
+    """
+    table = dict(prim_table) if prim_table is not None else prim_ns()
+    measured = bool(table.pop("__measured__", False))
+    stage_ns: Dict[str, float] = {}
+    for stage, prim, count in op_inventory(width, n_windows):
+        stage_ns[stage] = stage_ns.get(stage, 0.0) + count * table[prim]
+    block_ns = sum(stage_ns.values())
+    # The primitive costs are per (rows, 1024) block = rows·1024 elements;
+    # the inventory is one full sweep over the block, and every visibility
+    # appears in exactly one block element, so the dump cost is the
+    # per-element cost times the dump size.
+    n_vis = baselines * channels
+    ns_per_dump = block_ns * n_vis / (rows * 1024.0)
+    s_per_dump = ns_per_dump * 1e-9
+    return {
+        "seconds_per_dump": s_per_dump,
+        "vis_per_second": n_vis / s_per_dump,
+        "block_ns": block_ns,
+        "stage_ns": stage_ns,
+        "prim_ns_measured": measured,
+    }

@@ -94,6 +94,7 @@ BODIES = {
     "shift_ch": lambda x, e: pf._shift_channels(x, 1, e["interpret"], e["lane"]),
     "reduce": lambda x, e: x + jnp.sum(x, axis=1, keepdims=True),
     "band_mm": lambda x, e: x + pf._band_sum(e["g"], jnp.sum(x, axis=1, keepdims=True)),
+    "sqrt": lambda x, e: jnp.sqrt(x * x + 1.0) - 1.0,
 }
 
 
@@ -106,6 +107,9 @@ def main():
     ap.add_argument("--unroll", type=int, default=16)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--interpret", action="store_true")
+    ap.add_argument("--emit-json", action="store_true",
+                    help="write the measured table to models/rfi/prim_ns.json "
+                         "(consumed by models.rfi.roofline's compute roofline)")
     args = ap.parse_args()
 
     from katsdpsigproc_tpu.utils.profiling import time_scan
@@ -135,6 +139,17 @@ def main():
     if base and base > 0:
         print("relative to add:", {k: round(v / base, 2) for k, v in results.items()},
               file=sys.stderr)
+    if args.emit_json:
+        import json
+
+        from katsdpsigproc_tpu.models.rfi import roofline
+
+        # Marginal chain costs can dip ≤0 in noise for near-free ops;
+        # floor at 1 ns so the roofline stays finite and honest.
+        out = {k: max(1.0, round(v, 1)) for k, v in results.items()}
+        with open(roofline._PRIM_JSON, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        print(f"wrote {roofline._PRIM_JSON}: {out}", file=sys.stderr)
 
 
 if __name__ == "__main__":
