@@ -30,6 +30,7 @@ def test_rfiflagtest_1d():
     assert "Mask mismatches: 0" in r.stderr
 
 
+@pytest.mark.slow
 def test_rfiflagtest_2d():
     r = _run("rfiflagtest.py", "--time", "48", "--channels", "300", "--baselines", "2")
     assert r.returncode == 0, r.stderr
@@ -72,3 +73,21 @@ def test_rfiflagtest_engines(engine):
 def test_api_index_fresh():
     r = _run("gen_api_index.py", "--check")
     assert r.returncode == 0, r.stderr
+
+
+@pytest.mark.slow
+def test_multichip_bench():
+    """The multi-chip scaling harness runs end-to-end on the CPU mesh."""
+    import json
+
+    r = _run("multichip_bench.py", "--channels", "512", "--baselines", "64",
+             "--iters", "2", "--slab", "32", "--bb", "8", "--engine", "both",
+             "--channel-shards", "2")
+    assert r.returncode == 0, r.stderr
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    assert len(lines) == 2, r.stdout + r.stderr
+    for ln in lines:
+        rec = json.loads(ln)
+        assert rec["metric"] == "multichip_scaling_efficiency"
+        assert rec["n_devices"] == 8
+        assert 0 < rec["value"] < 10
