@@ -275,6 +275,7 @@ class TestSumThreshold:
         np.testing.assert_array_equal([False, False, True, True], out[70, :4])
 
 
+@pytest.mark.slow
 class TestSumThresholdFlagger:
     """Statistical planted-RFI recovery (reference
     test/rfi/test_twodflag.py:518-673)."""

@@ -138,6 +138,7 @@ class TestOracleParity:
         flags = np.zeros(data.shape, bool)
         _assert_parity(data, flags, **SMALL)
 
+    @pytest.mark.slow
     def test_default_parameters(self):
         # The production defaults (MeerKAT windows, 10 chunks, wide
         # Gaussians) on a cube large enough for them to engage.
@@ -147,6 +148,7 @@ class TestOracleParity:
         _assert_parity(data, flags)
 
     @pytest.mark.parametrize("seed", range(5))
+    @pytest.mark.slow
     def test_fuzz(self, seed):
         """Seeded fuzz sweep: random shapes, flag densities, parameters."""
         rs = np.random.RandomState(100 + seed)

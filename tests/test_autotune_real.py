@@ -27,6 +27,7 @@ def test_transpose_autotune_real_search(patch_autotune, tmp_path, monkeypatch):
 
 
 @pytest.mark.force_autotune
+@pytest.mark.slow
 def test_percentile_autotune_real_search(patch_autotune, tmp_path, monkeypatch):
     monkeypatch.setenv("KATSDPSIGPROC_TPU_TUNE_DB", str(tmp_path / "t.json"))
     from katsdpsigproc_tpu.ops import percentile
@@ -49,6 +50,7 @@ def test_background_engine_autotune_real_search(patch_autotune, tmp_path, monkey
 
 
 @pytest.mark.force_autotune
+@pytest.mark.slow
 def test_madnz_radix_autotune_real_search(patch_autotune, tmp_path, monkeypatch):
     monkeypatch.setenv("KATSDPSIGPROC_TPU_TUNE_DB", str(tmp_path / "t.json"))
     from katsdpsigproc_tpu.models.rfi import device

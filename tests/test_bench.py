@@ -44,6 +44,7 @@ def test_headline_small():
     assert "parity" in r.stderr  # mask-parity assertion ran
 
 
+@pytest.mark.slow
 def test_config2():
     r = _run("--config", "2", "--iters", "2")
     assert r.returncode == 0, r.stderr[-2000:]

@@ -11,9 +11,14 @@ import pytest
 EXAMPLES = sorted(
     (pathlib.Path(__file__).resolve().parent.parent / "doc" / "examples").glob("*.py")
 )
+# The sharded-flagger example compiles a multi-device program (~17 s).
+_PARAMS = [
+    pytest.param(p, marks=[pytest.mark.slow] if p.stem == "sharded_flagger" else [])
+    for p in EXAMPLES
+]
 
 
-@pytest.mark.parametrize("example", EXAMPLES, ids=lambda p: p.stem)
+@pytest.mark.parametrize("example", _PARAMS, ids=lambda p: p.stem)
 def test_example_runs(example):
     repo_root = example.parent.parent.parent
     env = dict(os.environ)

@@ -26,6 +26,7 @@ def test_process_summary():
     assert "process 0/1" in s
 
 
+@pytest.mark.slow
 def test_two_process_distributed(tmp_path):
     """A real 2-process jax.distributed run: 2x2 (baseline x channel) global
     mesh across the process boundary, sharded-flagger mask parity vs the

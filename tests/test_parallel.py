@@ -227,6 +227,7 @@ class TestShardedFlagger:
             fn(jnp.zeros((16, 8), jnp.complex64), jnp.zeros(16, jnp.uint8))
 
 
+@pytest.mark.slow
 class TestShardedTwodflag:
     """Sharded 2-D flagger matches the single-device path bit-for-bit."""
 

@@ -95,6 +95,7 @@ def test_copy_region_errors():
                             np.s_[:], np.s_[:])
 
 
+@pytest.mark.slow
 def test_fuzz_vs_numpy_semantics():
     """100 random region pairs: copy_region == numpy slice assignment.
 
