@@ -546,7 +546,7 @@ def _threshold_sum_band(dev, noise_rows, col, channels: int, n_sigma, n_windows:
 def _flagger_kernel(vis_ref, *refs, width: int, n_sigma: float,
                     n_windows: int, falloff: float, flag_value: int, channels: int,
                     h: int, flags_mode: str = "none", interpret: bool = False,
-                    rank_radix: int = 1):
+                    rank_radix: int = 1, ingest: str = "planar"):
     use_flags = flags_mode != "none"
     if use_flags:
         in_flags_ref, flags_ref = refs
@@ -556,13 +556,13 @@ def _flagger_kernel(vis_ref, *refs, width: int, n_sigma: float,
     _flagger_body(vis_ref, in_flags_ref, flags_ref, width=width, n_sigma=n_sigma,
                   n_windows=n_windows, falloff=falloff, flag_value=flag_value,
                   channels=channels, h=h, flags_mode=flags_mode, interpret=interpret,
-                  rank_radix=rank_radix)
+                  rank_radix=rank_radix, ingest=ingest)
 
 
 def _flagger_kernel_multi(*refs, nref: int, width: int, n_sigma: float,
                           n_windows: int, falloff: float, flag_value: int, channels: int,
                           h: int, flags_mode: str = "none", interpret: bool = False,
-                          rank_radix: int = 1):
+                          rank_radix: int = 1, ingest: str = "planar"):
     """`nref` independent baseline blocks per grid step (static inner loop).
 
     Each sub-block arrives through its own input/output ref (separate
@@ -588,7 +588,7 @@ def _flagger_kernel_multi(*refs, nref: int, width: int, n_sigma: float,
                       n_sigma=n_sigma, n_windows=n_windows, falloff=falloff,
                       flag_value=flag_value, channels=channels, h=h,
                       flags_mode=flags_mode, interpret=interpret,
-                      rank_radix=rank_radix)
+                      rank_radix=rank_radix, ingest=ingest)
 
 
 def _flagger_body(vis_ref, in_flags_ref, flags_ref, *, width: int, n_sigma: float,
@@ -933,9 +933,7 @@ def flag_dump(vis_t, input_flags=None, slab: int = 256, width: int = 13,
     if pipeline == "dma":
         slab_fn = functools.partial(flag_transposed_dma, ingest=ingest)
     else:
-        if ingest != "planar":
-            raise ValueError("ingest='amp' is a pipeline='dma' feature")
-        slab_fn = functools.partial(flag_transposed, nref=nref)
+        slab_fn = functools.partial(flag_transposed, nref=nref, ingest=ingest)
     baselines, channels = _vis_dims(vis_t, layout)
     if baselines <= slab:
         return slab_fn(vis_t, input_flags, **kwargs)
@@ -972,13 +970,13 @@ def flag_dump(vis_t, input_flags=None, slab: int = 256, width: int = 13,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "n_sigma", "n_windows", "falloff", "flag_value", "bb", "fold",
-                     "interpret", "nref", "rank_radix", "layout"),
+                     "interpret", "nref", "rank_radix", "layout", "ingest"),
 )
 def flag_transposed(vis_t, input_flags=None, width: int = 13, n_sigma: float = 11.0,
                     n_windows: int = 4, falloff: float = 1.2, flag_value: int = 1,
                     bb: int = 4, fold: int = 1024, interpret: bool = False,
                     channel_flags=None, nref: int = 1, rank_radix: int = 1,
-                    layout: str = "trailing"):
+                    layout: str = "trailing", ingest: str = "planar"):
     """Fused flagger on baseline-major planar visibilities.
 
     Parameters
@@ -1016,11 +1014,26 @@ def flag_transposed(vis_t, input_flags=None, width: int = 13, n_sigma: float = 1
     """
     if input_flags is not None and channel_flags is not None:
         raise ValueError("pass either input_flags (FULL) or channel_flags (CHANNEL), not both")
+    if ingest not in ("planar", "amp"):
+        raise ValueError(f"unknown ingest {ingest!r}")
+    if ingest == "amp" and nref != 1:
+        raise ValueError("ingest='amp' supports nref=1 only")
     baselines, channels = _vis_dims(vis_t, layout)
     fold, hh, padded_c = _fold_setup(channels, bb, fold, baselines, nref)
-    # Band-folded rows: row b*hh + h holds channels [h*fold, (h+1)*fold),
-    # with re/im on a LEADING planar axis (lane dim stays `fold`).
-    folded = _fold_vis(vis_t, layout, baselines, hh, fold, padded_c, channels)
+    if ingest == "amp":
+        # XLA amplitude + free band-fold reshape (see flag_transposed_dma).
+        if layout == "trailing":
+            re, im = vis_t[..., 0], vis_t[..., 1]
+        else:
+            re, im = vis_t[0], vis_t[1]
+        amp2d = jnp.sqrt(re * re + im * im)
+        if padded_c != channels:
+            amp2d = jnp.pad(amp2d, ((0, 0), (0, padded_c - channels)))
+        folded = amp2d.reshape(baselines * hh, fold)
+    else:
+        # Band-folded rows: row b*hh + h holds channels [h*fold, (h+1)*fold),
+        # with re/im on a LEADING planar axis (lane dim stays `fold`).
+        folded = _fold_vis(vis_t, layout, baselines, hh, fold, padded_c, channels)
     if padded_c != channels:
         if input_flags is not None:
             input_flags = jnp.pad(input_flags, ((0, 0), (0, padded_c - channels)))
@@ -1044,6 +1057,7 @@ def flag_transposed(vis_t, input_flags=None, width: int = 13, n_sigma: float = 1
         flags_mode=flags_mode,
         interpret=interpret,
         rank_radix=rank_radix,
+        ingest=ingest,
     )
     kwargs = {}
     if not interpret and pltpu is not None:
@@ -1052,7 +1066,10 @@ def flag_transposed(vis_t, input_flags=None, width: int = 13, n_sigma: float = 1
 
     if nref == 1:
         kernel = functools.partial(_flagger_kernel, **algo_kw)
-        in_specs = [pl.BlockSpec((2, block_rows, fold), lambda i: (0, i, 0), memory_space=_VMEM)]
+        if ingest == "amp":
+            in_specs = [pl.BlockSpec((block_rows, fold), lambda i: (i, 0), memory_space=_VMEM)]
+        else:
+            in_specs = [pl.BlockSpec((2, block_rows, fold), lambda i: (0, i, 0), memory_space=_VMEM)]
         operands = [folded]
         if input_flags is not None:
             in_specs.append(pl.BlockSpec((block_rows, fold), lambda i: (i, 0), memory_space=_VMEM))

@@ -405,8 +405,15 @@ def test_amp_ingest_matches_planar():
         np.asarray(pallas_flagger.flag_dump(
             vis_t, slab=8, pipeline="dma", ingest="amp", **kw)),
         base)
+    # The grid engine supports amp ingest too (nref=1 only).
+    np.testing.assert_array_equal(
+        np.asarray(pallas_flagger.flag_transposed(vis_t, ingest="amp", **kw)),
+        np.asarray(pallas_flagger.flag_transposed(vis_t, **kw)))
     with pytest.raises(ValueError, match="ingest"):
-        pallas_flagger.flag_dump(vis_t, slab=8, ingest="amp", interpret=True)
+        pallas_flagger.flag_transposed(vis_t, ingest="bogus", interpret=True)
+    with pytest.raises(ValueError, match="nref"):
+        pallas_flagger.flag_transposed(vis_t, ingest="amp", nref=2, bb=4,
+                                       interpret=True)
 
 
 def test_rank_variants_match_binary():
