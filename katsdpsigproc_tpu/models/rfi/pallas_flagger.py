@@ -835,7 +835,7 @@ class FusedFlaggerTemplate:
     ``wgs``/``csplit`` searches.
     """
 
-    autotune_version = 5  # v5: the `pipeline` dimension joined the search
+    autotune_version = 6  # v6: the `ingest` dimension (planar vs amp stream)
 
     def __init__(self, context, width: int = 13, n_windows: int = 4,
                  threshold_falloff: float = 1.2, flag_value: int = 1, tuning=None):
@@ -849,9 +849,10 @@ class FusedFlaggerTemplate:
         self.bb = tuning.get("bb", 4)
         self.nref = tuning.get("nref", 1)
         self.pipeline = tuning.get("pipeline", "grid")
+        self.ingest = tuning.get("ingest", "planar")
 
     @classmethod
-    @_tune.autotuner(test={"bb": 4, "nref": 1, "pipeline": "grid"})
+    @_tune.autotuner(test={"bb": 4, "nref": 1, "pipeline": "grid", "ingest": "planar"})
     def autotune(cls, context, width, n_windows):
         # 256 baselines ≈ the production slab (flag_dump slices 256–288):
         # 64 under-represented the per-block amortization and mis-ranked bb.
@@ -859,22 +860,24 @@ class FusedFlaggerTemplate:
         rs = np.random.RandomState(seed=1)
         vis_t = jnp.asarray(rs.standard_normal((baselines, channels, 2)).astype(np.float32))
 
-        def generate(bb, nref, pipeline):
-            if pipeline == "dma" and nref != 1:
-                raise ValueError("config skipped: nref>1 applies only to pipeline='grid'")
+        def generate(bb, nref, pipeline, ingest):
+            if nref != 1 and (pipeline == "dma" or ingest == "amp"):
+                raise ValueError("config skipped: nref>1 applies only to "
+                                 "pipeline='grid' with planar ingest")
             def call(v):
                 if pipeline == "dma":
                     return flag_transposed_dma(
-                        v, width=width, n_windows=n_windows, bb=bb
+                        v, width=width, n_windows=n_windows, bb=bb, ingest=ingest
                     )
                 return flag_transposed(
-                    v, width=width, n_windows=n_windows, bb=bb, nref=nref
+                    v, width=width, n_windows=n_windows, bb=bb, nref=nref,
+                    ingest=ingest
                 )
 
             return _tune.make_measure(call, vis_t)
 
         return _tune.autotune(generate, bb=[1, 2, 4, 8, 16, 32], nref=[1, 2],
-                              pipeline=["grid", "dma"])
+                              pipeline=["grid", "dma"], ingest=["planar", "amp"])
 
     def __call__(self, vis_t, input_flags=None, n_sigma: float = 11.0, interpret: bool = False,
                  channel_flags=None):
@@ -890,6 +893,7 @@ class FusedFlaggerTemplate:
                 bb=self.bb,
                 interpret=interpret,
                 channel_flags=channel_flags,
+                ingest=self.ingest,
             )
         return flag_transposed(
             vis_t,
@@ -903,6 +907,7 @@ class FusedFlaggerTemplate:
             interpret=interpret,
             channel_flags=channel_flags,
             nref=self.nref,
+            ingest=self.ingest,
         )
 
 
