@@ -42,6 +42,19 @@ def test_headline_small():
     (rec,) = _json_lines(r.stdout)
     assert rec["metric"] == "rfi_flagger_visibilities_per_second_per_chip"
     assert "parity" in r.stderr  # mask-parity assertion ran
+    assert rec["pols"] == 1 and rec["rows"] == 64
+    assert 0 < rec["vs_compute_roofline"] < 10
+
+
+@pytest.mark.slow
+def test_headline_pols():
+    """--pols flattens polarizations into baseline rows (config 5's 4-pol
+    shape); the JSON records the flattening."""
+    r = _run("--iters", "2", "--channels", "512", "--baselines", "32",
+             "--pols", "2", "--slab", "32", "--skip-parity")
+    assert r.returncode == 0, r.stderr[-2000:]
+    (rec,) = _json_lines(r.stdout)
+    assert rec["pols"] == 2 and rec["rows"] == 64
 
 
 @pytest.mark.slow
