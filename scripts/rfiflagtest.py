@@ -48,15 +48,16 @@ def benchmark1d(args, data):
     bb = next((c for c in (8, 4, 2, 1)
                if args.baselines % c == 0
                and ((c * hh) % 8 == 0 or c == args.baselines)), 1)
-    if args.engine in ("pallas", "pallas_dma"):
+    if args.engine in ("pallas", "pallas_dma", "pallas_dma_amp"):
         from katsdpsigproc_tpu.models.rfi import pallas_flagger
 
         def fn(vis):
             vis_t = jnp.swapaxes(vis, 0, 1)
-            if args.engine == "pallas_dma":
+            if args.engine.startswith("pallas_dma"):
+                ingest = "amp" if args.engine.endswith("amp") else "planar"
                 flags_t = pallas_flagger.flag_transposed_dma(
                     vis_t, width=args.width, n_sigma=args.sigmas,
-                    bb=bb, interpret=interpret)
+                    bb=bb, ingest=ingest, interpret=interpret)
             else:
                 flags_t = pallas_flagger.flag_dump(
                     vis_t, width=args.width, n_sigma=args.sigmas,
@@ -115,7 +116,7 @@ def main():
     parser.add_argument("--baselines", type=int, default=512)
     parser.add_argument("--width", type=int, default=13)
     parser.add_argument("--sigmas", type=float, default=11.0)
-    parser.add_argument("--engine", choices=["xla", "hybrid", "pallas", "pallas_dma"],
+    parser.add_argument("--engine", choices=["xla", "hybrid", "pallas", "pallas_dma", "pallas_dma_amp"],
                         default="xla",
                         help="1-D flagger engine (bench.py times five variants)")
     parser.add_argument("--skip-host", action="store_true")

@@ -62,7 +62,8 @@ def test_maskedsumabstest_alias():
     assert r.returncode == 0, r.stderr
 
 
-@pytest.mark.parametrize("engine", ["xla", "hybrid", "pallas", "pallas_dma"])
+@pytest.mark.parametrize("engine", ["xla", "hybrid", "pallas", "pallas_dma",
+                                    "pallas_dma_amp"])
 def test_rfiflagtest_engines(engine):
     r = _run("rfiflagtest.py", "--channels", "256", "--baselines", "32",
              "--engine", engine)
