@@ -1,0 +1,46 @@
+"""Compute-roofline model invariants (models/rfi/roofline.py)."""
+
+import json
+
+import numpy as np
+
+from katsdpsigproc_tpu.models.rfi import roofline
+
+
+def test_inventory_counts():
+    inv = roofline.op_inventory(width=13, n_windows=4)
+    total = sum(c for _, _, c in inv)
+    # The minimum inventory must stay well under the traced kernel's
+    # ~330 full-block ops (scripts/opcount.py) — it is a floor, not a
+    # census — but large enough to be the dominant cost (>100).
+    assert 100 < total < 330
+    stages = {s for s, _, _ in inv}
+    assert stages == {"amplitude", "median", "rank", "threshold", "output"}
+    # rank rounds: 31 bitwise + zeros sweep
+    rank_cmps = sum(c for s, p, c in inv if s == "rank" and p == "cmp_f32")
+    assert rank_cmps == 32
+
+
+def test_roofline_scales_linearly():
+    a = roofline.compute_roofline(2016, 32768)
+    b = roofline.compute_roofline(4032, 32768)
+    np.testing.assert_allclose(b["seconds_per_dump"], 2 * a["seconds_per_dump"])
+    assert a["vis_per_second"] == b["vis_per_second"]
+    # wider windows cost more
+    c = roofline.compute_roofline(2016, 32768, width=17)
+    assert c["seconds_per_dump"] > a["seconds_per_dump"]
+
+
+def test_prim_table_override(tmp_path):
+    p = tmp_path / "prim_ns.json"
+    p.write_text(json.dumps({"add": 10.0, "bogus_key": 5.0}))
+    t = roofline.prim_ns(str(p))
+    assert t["add"] == 10.0
+    assert "bogus_key" not in t
+    assert t.pop("__measured__", None) == 1.0
+    # defaults intact for unlisted primitives
+    assert t["cmp_f32"] == roofline.DEFAULT_PRIM_NS["cmp_f32"]
+    # a missing file falls back to pure defaults, unmarked
+    t2 = roofline.prim_ns(str(tmp_path / "absent.json"))
+    assert "__measured__" not in t2
+    assert t2 == roofline.DEFAULT_PRIM_NS
