@@ -361,8 +361,10 @@ def _madnz_band(absdev, g, h: int, channels: int, interpret: bool,
         if rank_pair or rank_radix != 1:
             raise ValueError("zeros_fold applies to the plain binary search")
         # Bit 30's candidate does not depend on `target`, so its count
-        # shares one packed indicator pass with the zeros count.
-        cand30 = lax.bitcast_convert_type(jnp.int32(1) << 30, jnp.float32)
+        # shares one packed indicator pass with the zeros count.  The
+        # candidate is a compile-time constant; compute the bit pattern in
+        # numpy (scalar tpu.bitcast is rejected by Mosaic).
+        cand30 = jnp.float32(np.int32(1 << 30).view(np.float32))
         ind = ((absdev == 0).astype(jnp.float32)
                + _SCALE * (absdev < cand30).astype(jnp.float32))
         zer_rows, c30_rows = _unpack_rows(jnp.sum(ind, axis=1, keepdims=True))

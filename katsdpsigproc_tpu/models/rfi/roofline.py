@@ -38,28 +38,42 @@ from typing import Dict, List, Mapping, Optional, Tuple
 # entry anchors the scale: 8 × 8.5 ns (the measured (32, 1024) op cost,
 # BASELINE_RESULTS.md round 2; a (256, 1024) op moves 8× the elements).
 # Relative weights for the rest are conservative estimates pending the
-# on-chip ``scripts/prim_cost.py --emit-json`` refresh (which overwrites
-# them with measurements via prim_ns.json).
+# on-chip ``scripts/prim_cost.py --emit-json`` refresh (which overrides
+# them per key with measurements via prim_ns.json).
 DEFAULT_PRIM_NS: Dict[str, float] = {
-    "add": 68.0,        # elementwise add/min/max/or/select-class op
+    "add": 68.0,        # elementwise add/or/select-class op
+    "minmax": 68.0,     # one min or max (the selection-network unit)
     "cmp_f32": 136.0,   # compare + i32/f32 convert (the rank-round body)
     "shift_ch": 204.0,  # band-folded channel shift: 2 lane rolls + select
     "reduce": 136.0,    # full-block lane reduction to (R, 1) + use
     "sqrt": 68.0,
 }
 
+# Below this a chain measurement is a folding/noise artifact, not a cost
+# (a (256, 1024) f32 op sweeps 256 vregs).  Mirrors scripts/prim_cost.py.
+MIN_PLAUSIBLE_NS = 30.0
+
 _PRIM_JSON = os.path.join(os.path.dirname(__file__), "prim_ns.json")
 
 
 def prim_ns(path: Optional[str] = None) -> Dict[str, float]:
-    """The primitive-cost table: measured (prim_ns.json) over defaults."""
+    """The primitive-cost table: measured (prim_ns.json) over defaults.
+
+    Only plausible measurements override defaults (``MIN_PLAUSIBLE_NS``
+    guards against the folded-chain artifacts the first prim_cost run
+    produced — a 512-add chain timed 0.000 ms).  ``__measured__`` is set
+    to 1.0 only when every primitive the inventory uses was measured;
+    otherwise the roofline is honestly reported as partly modeled.
+    """
     table = dict(DEFAULT_PRIM_NS)
     p = path or _PRIM_JSON
     try:
         with open(p) as f:
-            table.update({k: float(v) for k, v in json.load(f).items()
-                          if k in table})
-        table["__measured__"] = 1.0
+            loaded = {k: float(v) for k, v in json.load(f).items()
+                      if k in table and float(v) >= MIN_PLAUSIBLE_NS}
+        table.update(loaded)
+        if set(loaded) >= set(DEFAULT_PRIM_NS):
+            table["__measured__"] = 1.0
     except (OSError, ValueError):
         pass
     return table
@@ -99,7 +113,8 @@ def op_inventory(width: int = 13, n_windows: int = 4,
         ("amplitude", "sqrt", 1),
         ("median", "shift_ch", width - 1),
         ("median", "add", 2),  # edge parity fills
-        ("median", "add", 61 + 1),  # selection network + subtract
+        ("median", "minmax", 61),  # selection network (61 min/max ops)
+        ("median", "add", 1),  # background subtract
         ("rank", "cmp_f32", rank_rounds + 1),  # rounds + zeros sweep
         ("rank", "reduce", rank_rounds + 1),
         ("rank", "add", 2),  # halfway correction

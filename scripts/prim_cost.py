@@ -5,17 +5,35 @@ The fused flagger's traced-op census assumed one full-block vector op costs
 the same regardless of kind; the parity-fill fast path (2.5x fewer median
 ops) moving the needle only ~8% on silicon says otherwise.  This times a
 fori_loop chain of each primitive inside ONE Pallas kernel — the marginal
-per-step cost isolates the primitive from dispatch/DMA:
+per-rep cost over an empty kernel isolates the primitive from dispatch/DMA.
 
-  add        x = x + 1.0
-  mul        x = x * c
-  select     x = where(mask, x + 1.0, x)
-  cmp_f32    x = x + (x < c)        (compare + convert, the rank-round body)
-  roll_lane  x = pltpu.roll(x, 1, axis=1)
-  roll_sub   x = pltpu.roll(x, 1, axis=0)
-  shift_ch   x = _shift_channels(x, 1)   (2 rolls + select — the member op)
-  reduce     x = x + sum(x, axis=1)      (lane reduction + broadcast add)
-  band_mm    x = x + G @ sum(x, axis=1)  (reduce + (R,R)@(R,1) MXU matvec)
+Foldability is the enemy (round-3/4 lesson): a chain of ``x + 1.0`` steps
+collapses to ``x + N`` once XLA unrolls the constant-trip loop, and the
+first version of this script measured 0.000 ms for the add and reduce
+chains that way.  Every chain here therefore carries TWO arrays with a
+Fibonacci-style dependence — ``(x, y) -> (f(x, y), x)`` — so each rep's
+result is a fresh expression of both carries: no constant folding, no
+reassociation, no CSE across reps.  Values overflow to inf mid-chain;
+IEEE inf arithmetic runs at full VPU rate, so timing is unaffected.
+
+  add        (x, y) -> (x + y, x)                       1 add-class op/rep
+  minmax     (x, y) -> (max(x,y) + min(x,y), x)         the median-network
+                                                        exchange: 2 ops (+1 add)
+  mul        (x, y) -> (x * y + ..., x)                 mul (+1 add)
+  select     (x, y) -> (where(mask, y, x) + ..., x)     select (+1 add)
+  cmp_f32    (x, y) -> (x + (y < x), x)                 cmp+convert (+1 add)
+  roll_lane  (x, y) -> (roll(y, 1, lanes) + x, x)       lane roll (+1 add)
+  roll_sub   same on the sublane axis
+  shift_ch   (x, y) -> (_shift_channels(y) + x, x)      2 rolls + select (+1 add)
+  reduce     (x, y) -> (x + sum(y, lanes), x)           lane reduction (+1 add)
+  band_mm    (x, y) -> (x + G @ sum(y, lanes), x)       reduce + MXU matvec (+1 add)
+  sqrt       (x, y) -> (x + sqrt(y*y + 1), x)           sqrt + mul (+2 adds)
+
+The printed per-op ns subtracts the measured add cost times the number of
+helper adds in the body (noted above), so each row is the primitive alone.
+Rows measuring below the physical floor (a (256,1024) f32 op touches 256
+vregs; < ~30 ns means the chain folded) are reported but NOT written to
+prim_ns.json — the roofline falls back to its modeled default for them.
 """
 
 import argparse
@@ -44,29 +62,39 @@ try:
 except ImportError:  # pragma: nocover
     pltpu = None
 
+# Implausibly-cheap threshold: a full (256, 1024) f32 block is 256 vregs;
+# even at 8 ALU ops/cycle/subcore a sweep is >100 ns.  Below this the
+# chain folded and the number is an artifact, not a measurement.
+FLOOR_NS = 30.0
+
 
 def make_kernel(body, steps: int, unroll: int, rows: int, ww: int, h: int,
                 interpret: bool):
-    """fori_loop of `steps` trips, each trip = `unroll` interleaved
-    (primitive; add) pairs.  The add between primitives breaks
-    consecutive-op merging (roll-of-roll folds to one roll) and the
-    unrolling amortizes the loop-carry overhead; the pure-add baseline
-    (body=None) is subtracted by the caller."""
+    """fori_loop of `steps` trips, each trip = `unroll` Fibonacci-carry
+    reps of `body`.  body(x, y, env) -> new_x; the old x becomes y.  The
+    two-carry dependence makes every rep a fresh expression (see module
+    docstring); `body=None` builds the empty kernel whose time (launch +
+    block DMA) the caller subtracts."""
 
     def kernel(x_ref, o_ref):
         lane = lax.broadcasted_iota(jnp.int32, (rows, ww), 1)
         mask = lane < (ww // 2)
         g = pf._band_matrix(rows, h)
         env = {"lane": lane, "mask": mask, "g": g, "interpret": interpret}
+        x0 = x_ref[...]
+        y0 = x0 * np.float32(0.5) + np.float32(0.125)
 
-        def step(_, x):
+        def step(_, carry):
+            x, y = carry
             for _ in range(unroll):
-                if body is not None:
-                    x = body(x, env)
-                x = x + 1.0
-            return x
+                x, y = body(x, y, env), x
+            return x, y
 
-        o_ref[...] = lax.fori_loop(0, steps, step, x_ref[...])
+        if body is None:
+            xn, yn = x0, y0
+        else:
+            xn, yn = lax.fori_loop(0, steps, step, (x0, y0))
+        o_ref[...] = xn + yn
 
     @jax.jit
     def run(x):
@@ -84,17 +112,30 @@ def make_kernel(body, steps: int, unroll: int, rows: int, ww: int, h: int,
     return run
 
 
+# name -> (body, ops_of_interest_per_rep, helper_adds_per_rep)
 BODIES = {
-    "add": lambda x, e: x + 1.0,
-    "mul": lambda x, e: x * np.float32(1.0000001),
-    "select": lambda x, e: jnp.where(e["mask"], x + 1.0, x),
-    "cmp_f32": lambda x, e: x + (x < 0.5).astype(jnp.float32),
-    "roll_lane": lambda x, e: pf._roll(x, 1, 1, e["interpret"]),
-    "roll_sub": lambda x, e: pf._roll(x, 1, 0, e["interpret"]),
-    "shift_ch": lambda x, e: pf._shift_channels(x, 1, e["interpret"], e["lane"]),
-    "reduce": lambda x, e: x + jnp.sum(x, axis=1, keepdims=True),
-    "band_mm": lambda x, e: x + pf._band_sum(e["g"], jnp.sum(x, axis=1, keepdims=True)),
-    "sqrt": lambda x, e: jnp.sqrt(x * x + 1.0) - 1.0,
+    "add": (lambda x, y, e: x + y, 1, 0),
+    "minmax": (lambda x, y, e: jnp.maximum(x, y) + jnp.minimum(x, y),
+               2, 1),  # the median-network exchange pair, summed to stay
+                       # in one carry; the join add is netted out below
+    "mul": (lambda x, y, e: x * y + np.float32(1.0), 1, 1),
+    "select": (lambda x, y, e: jnp.where(e["mask"], y, x) + y, 1, 1),
+    "cmp_f32": (lambda x, y, e: x + (y < x).astype(jnp.float32), 1, 1),
+    "roll_lane": (lambda x, y, e: pf._roll(y, 1, 1, e["interpret"]) + x, 1, 1),
+    "roll_sub": (lambda x, y, e: pf._roll(y, 1, 0, e["interpret"]) + x, 1, 1),
+    "shift_ch": (lambda x, y, e: pf._shift_channels(y, 1, e["interpret"], e["lane"]) + x,
+                 1, 1),
+    "reduce": (lambda x, y, e: x + jnp.sum(y, axis=1, keepdims=True), 1, 1),
+    "band_mm": (lambda x, y, e: x + pf._band_sum(e["g"], jnp.sum(y, axis=1, keepdims=True)),
+                1, 2),  # reduce + band matvec; charged net of reduce below
+    "sqrt": (lambda x, y, e: x + jnp.sqrt(y * y + np.float32(1.0)), 1, 2),
+}
+
+# Primitives whose helper ops beyond plain adds must also be netted out:
+# name -> list of (other_prim, count)
+EXTRA_DEDUCT = {
+    "band_mm": [("reduce", 1)],
+    "sqrt": [("mul", 1)],
 }
 
 
@@ -117,39 +158,51 @@ def main():
     rs = np.random.RandomState(1)
     x = jnp.asarray(rs.uniform(0.25, 0.75, (args.rows, args.width)).astype(np.float32))
 
-    n_ops = args.steps * args.unroll
+    n_reps = args.steps * args.unroll
     base_run = make_kernel(None, args.steps, args.unroll, args.rows, args.width,
                            args.h, args.interpret)
     np.asarray(base_run(x))
     dt_base = time_scan(base_run, (x,), iters=args.iters)
-    print(f"{'baseline-add':10s} {dt_base / n_ops * 1e9:8.1f} ns/add  "
-          f"({dt_base * 1e3:7.3f} ms per {n_ops}-add chain)", file=sys.stderr)
+    print(f"{'empty':10s} {'':>8s}        ({dt_base * 1e3:7.3f} ms launch+IO)",
+          file=sys.stderr)
 
-    results = {}
-    for name, body in BODIES.items():
+    raw = {}
+    for name, (body, n_ops, _) in BODIES.items():
         run = make_kernel(body, args.steps, args.unroll, args.rows, args.width,
                           args.h, args.interpret)
         np.asarray(run(x))  # compile + one execution
         dt = time_scan(run, (x,), iters=args.iters)
-        ns = (dt - dt_base) / n_ops * 1e9
+        raw[name] = (dt - dt_base) / (n_reps * n_ops) * 1e9
+
+    # Net out helper ops: every body except 'add' carries helper adds,
+    # and a few carry another primitive (EXTRA_DEDUCT).
+    add_ns = raw.get("add", 0.0)
+    results = {}
+    for name, (_, n_ops, n_helper_adds) in BODIES.items():
+        ns = raw[name] - add_ns * n_helper_adds / n_ops
+        for other, cnt in EXTRA_DEDUCT.get(name, []):
+            ns -= raw.get(other, 0.0) * cnt / n_ops
         results[name] = ns
-        print(f"{name:10s} {ns:8.1f} ns/op  ({dt * 1e3:7.3f} ms per chain)",
+        tag = "" if ns >= FLOOR_NS else "   [below floor: folded/noise — not emitted]"
+        print(f"{name:10s} {ns:8.1f} ns/op  (raw chain {raw[name]:8.1f}){tag}",
               file=sys.stderr)
-    base = results.get("add")
-    if base and base > 0:
-        print("relative to add:", {k: round(v / base, 2) for k, v in results.items()},
+    if add_ns >= FLOOR_NS:
+        print("relative to add:",
+              {k: round(v / add_ns, 2) for k, v in results.items()},
               file=sys.stderr)
     if args.emit_json:
         import json
 
         from katsdpsigproc_tpu.models.rfi import roofline
 
-        # Marginal chain costs can dip ≤0 in noise for near-free ops;
-        # floor at 1 ns so the roofline stays finite and honest.
-        out = {k: max(1.0, round(v, 1)) for k, v in results.items()}
+        out = {k: round(v, 1) for k, v in results.items() if v >= FLOOR_NS}
+        dropped = sorted(set(results) - set(out))
         with open(roofline._PRIM_JSON, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
         print(f"wrote {roofline._PRIM_JSON}: {out}", file=sys.stderr)
+        if dropped:
+            print(f"dropped (below {FLOOR_NS} ns floor, roofline uses defaults): "
+                  f"{dropped}", file=sys.stderr)
 
 
 if __name__ == "__main__":

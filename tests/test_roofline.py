@@ -33,13 +33,24 @@ def test_roofline_scales_linearly():
 
 def test_prim_table_override(tmp_path):
     p = tmp_path / "prim_ns.json"
-    p.write_text(json.dumps({"add": 10.0, "bogus_key": 5.0}))
+    full = {k: 100.0 + i for i, k in enumerate(roofline.DEFAULT_PRIM_NS)}
+    p.write_text(json.dumps(dict(full, bogus_key=50.0)))
     t = roofline.prim_ns(str(p))
-    assert t["add"] == 10.0
+    assert t["add"] == full["add"]
     assert "bogus_key" not in t
+    # every inventory primitive measured -> marked fully measured
     assert t.pop("__measured__", None) == 1.0
-    # defaults intact for unlisted primitives
+    # a partial table overrides per key but is NOT marked measured
+    p.write_text(json.dumps({"add": 42.0}))
+    t = roofline.prim_ns(str(p))
+    assert t["add"] == 42.0
+    assert "__measured__" not in t
     assert t["cmp_f32"] == roofline.DEFAULT_PRIM_NS["cmp_f32"]
+    # implausibly cheap entries (folded-chain artifacts) are rejected
+    p.write_text(json.dumps(dict(full, add=1.0)))
+    t = roofline.prim_ns(str(p))
+    assert t["add"] == roofline.DEFAULT_PRIM_NS["add"]
+    assert "__measured__" not in t
     # a missing file falls back to pure defaults, unmarked
     t2 = roofline.prim_ns(str(tmp_path / "absent.json"))
     assert "__measured__" not in t2
