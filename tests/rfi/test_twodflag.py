@@ -180,6 +180,7 @@ class TestGetBackground2D:
         self.flags = np.zeros(self.shape, bool)
         self.chunks = np.array([0, 86])
 
+    @pytest.mark.slow
     def test_no_flags(self):
         background = _np(
             twodflag._get_background2d(

@@ -60,12 +60,14 @@ class TestOracleParity:
         # sanity: the flagger actually catches most planted spikes
         assert (got & spikes).sum() > 0.8 * spikes.sum()
 
+    @pytest.mark.slow
     def test_input_flags(self):
         rs = np.random.RandomState(8)
         data, _ = _synthetic(rs, (32, 96, 2))
         flags = rs.random_sample(data.shape) < 0.1
         _assert_parity(data, flags, **SMALL)
 
+    @pytest.mark.slow
     def test_average_freq(self):
         rs = np.random.RandomState(9)
         data, _ = _synthetic(rs, (32, 100, 2))
@@ -98,6 +100,7 @@ class TestOracleParity:
         flags[:, 0:32, :] = True  # chunk 0 of 3
         _assert_parity(data, flags, **SMALL)
 
+    @pytest.mark.slow
     def test_all_flagged_everything(self):
         rs = np.random.RandomState(13)
         data, _ = _synthetic(rs, (16, 48, 2))
@@ -105,6 +108,7 @@ class TestOracleParity:
         got = _assert_parity(data, flags, **SMALL)
         assert got.shape == data.shape
 
+    @pytest.mark.slow
     def test_freq_chunks_exceed_channels(self):
         # linspace produces zero-length chunks when freq_chunks > channels.
         rs = np.random.RandomState(14)
@@ -121,6 +125,7 @@ class TestOracleParity:
         flags = np.zeros(data.shape, bool)
         _assert_parity(data, flags, **dict(SMALL, freq_chunks=1))
 
+    @pytest.mark.slow
     def test_window_larger_than_chunk(self):
         # Chunks of ~5 channels with windows up to 8: exercises the
         # window-skip and chunk-overlap padding paths.
@@ -132,6 +137,7 @@ class TestOracleParity:
             spike_width_time=2.0, spike_width_freq=2.0, freq_chunks=3,
         )
 
+    @pytest.mark.slow
     def test_magnitude_input(self):
         rs = np.random.RandomState(17)
         data, _ = _synthetic(rs, (32, 96, 2), complex_data=False)
