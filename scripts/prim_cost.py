@@ -7,33 +7,38 @@ ops) moving the needle only ~8% on silicon says otherwise.  This times a
 fori_loop chain of each primitive inside ONE Pallas kernel — the marginal
 per-rep cost over an empty kernel isolates the primitive from dispatch/DMA.
 
-Foldability is the enemy (round-3/4 lesson): a chain of ``x + 1.0`` steps
-collapses to ``x + N`` once XLA unrolls the constant-trip loop, and the
-first version of this script measured 0.000 ms for the add and reduce
-chains that way.  Every chain here therefore carries TWO arrays with a
-Fibonacci-style dependence — ``(x, y) -> (f(x, y), x)`` — so each rep's
-result is a fresh expression of both carries: no constant folding, no
-reassociation, no CSE across reps.  Values overflow to inf mid-chain;
-IEEE inf arithmetic runs at full VPU rate, so timing is unaffected.
+Foldability is the enemy (round-3/4 lesson), and XLA's algebraic closure
+is stronger than it looks.  A chain of ``x + 1.0`` collapses to ``x + N``
+once the constant-trip loop unrolls.  A Fibonacci two-carry chain
+``(x, y) -> (x + y, x)`` looks unfoldable but is LINEAR, and the
+simplifier's reassociation plus ``x + x -> 2*x`` collapse each unrolled
+step to two multiplies; ``max(a,b) + min(a,b)`` folds via the identity to
+``a + b`` and dies the same way; lane reductions and rolls are linear
+too.  Both failure modes measured 0.000 ms on-chip.  Every linear chain
+therefore routes through a ``min(., 3.0)`` barrier per rep — nonlinear
+(no distributive law through min), uncollapsible, and itself exactly one
+add-class VPU op, so the base chain is self-anchoring:
 
-  add        (x, y) -> (x + y, x)                       1 add-class op/rep
-  minmax     (x, y) -> (max(x,y) + min(x,y), x)         the median-network
-                                                        exchange: 2 ops (+1 add)
-  mul        (x, y) -> (x * y + ..., x)                 mul (+1 add)
-  select     (x, y) -> (where(mask, y, x) + ..., x)     select (+1 add)
-  cmp_f32    (x, y) -> (x + (y < x), x)                 cmp+convert (+1 add)
-  roll_lane  (x, y) -> (roll(y, 1, lanes) + x, x)       lane roll (+1 add)
+  add        (x, y) -> (min(x, c) + y, x)             2 add-class ops/rep
+  minmax     (x, y) -> (min(x, c1) + max(y, c2), x)   3 add-class ops/rep
+  mul        (x, y) -> (x * y + 1, x)                 mul (+1 add)
+  select     (x, y) -> (where(mask, y, x) + y, x)     select (+1 add)
+  cmp_f32    (x, y) -> (x + (y < x), x)               cmp+convert (+1 add)
+  roll_lane  (x, y) -> (min(roll(y, 1, lanes), c) + x, x)   roll (+2 add)
   roll_sub   same on the sublane axis
-  shift_ch   (x, y) -> (_shift_channels(y) + x, x)      2 rolls + select (+1 add)
-  reduce     (x, y) -> (x + sum(y, lanes), x)           lane reduction (+1 add)
-  band_mm    (x, y) -> (x + G @ sum(y, lanes), x)       reduce + MXU matvec (+1 add)
-  sqrt       (x, y) -> (x + sqrt(y*y + 1), x)           sqrt + mul (+2 adds)
+  shift_ch   (x, y) -> (_shift_channels(y) + x, x)    2 rolls + select (+1 add)
+  reduce     (x, y) -> (min(x, c) + sum(y, lanes), x) reduction (+2 add)
+  band_mm    (x, y) -> (min(x, c) + G @ sum(y, lanes), x)  reduce + MXU
+                                                      matvec (+2 add)
+  sqrt       (x, y) -> (x + sqrt(y*y + 1), x)         sqrt + mul (+2 adds)
 
-The printed per-op ns subtracts the measured add cost times the number of
-helper adds in the body (noted above), so each row is the primitive alone.
-Rows measuring below the physical floor (a (256,1024) f32 op touches 256
-vregs; < ~30 ns means the chain folded) are reported but NOT written to
-prim_ns.json — the roofline falls back to its modeled default for them.
+The nonlinear bodies (mul/select/cmp/shift/sqrt) need no barrier — they
+measured plausibly on the first run.  The printed per-op ns subtracts the
+measured add-class cost times the number of helper ops in the body (noted
+above), so each row is the primitive alone.  Rows measuring below the
+physical floor (a (256,1024) f32 op touches 256 vregs; < ~30 ns means the
+chain folded) are reported but NOT written to prim_ns.json — the roofline
+falls back to its modeled default for them.
 """
 
 import argparse
@@ -112,21 +117,29 @@ def make_kernel(body, steps: int, unroll: int, rows: int, ww: int, h: int,
     return run
 
 
-# name -> (body, ops_of_interest_per_rep, helper_adds_per_rep)
+_C = np.float32(3.0)
+_C2 = np.float32(5.0)
+
+# name -> (body, ops_of_interest_per_rep, helper_addclass_per_rep).
+# "add-class" = any single-issue elementwise VPU op (add, min, max, or,
+# select against a resident mask) — the classes the min-barrier itself
+# belongs to, so it anchors its own deduction.
 BODIES = {
-    "add": (lambda x, y, e: x + y, 1, 0),
-    "minmax": (lambda x, y, e: jnp.maximum(x, y) + jnp.minimum(x, y),
-               2, 1),  # the median-network exchange pair, summed to stay
-                       # in one carry; the join add is netted out below
+    "add": (lambda x, y, e: jnp.minimum(x, _C) + y, 2, 0),
+    "minmax": (lambda x, y, e: jnp.minimum(x, _C) + jnp.maximum(y, _C2), 3, 0),
     "mul": (lambda x, y, e: x * y + np.float32(1.0), 1, 1),
     "select": (lambda x, y, e: jnp.where(e["mask"], y, x) + y, 1, 1),
     "cmp_f32": (lambda x, y, e: x + (y < x).astype(jnp.float32), 1, 1),
-    "roll_lane": (lambda x, y, e: pf._roll(y, 1, 1, e["interpret"]) + x, 1, 1),
-    "roll_sub": (lambda x, y, e: pf._roll(y, 1, 0, e["interpret"]) + x, 1, 1),
+    "roll_lane": (lambda x, y, e: jnp.minimum(pf._roll(y, 1, 1, e["interpret"]), _C) + x,
+                  1, 2),
+    "roll_sub": (lambda x, y, e: jnp.minimum(pf._roll(y, 1, 0, e["interpret"]), _C) + x,
+                 1, 2),
     "shift_ch": (lambda x, y, e: pf._shift_channels(y, 1, e["interpret"], e["lane"]) + x,
                  1, 1),
-    "reduce": (lambda x, y, e: x + jnp.sum(y, axis=1, keepdims=True), 1, 1),
-    "band_mm": (lambda x, y, e: x + pf._band_sum(e["g"], jnp.sum(y, axis=1, keepdims=True)),
+    "reduce": (lambda x, y, e: jnp.minimum(x, _C) + jnp.sum(y, axis=1, keepdims=True),
+               1, 2),
+    "band_mm": (lambda x, y, e: jnp.minimum(x, _C)
+                + pf._band_sum(e["g"], jnp.sum(y, axis=1, keepdims=True)),
                 1, 2),  # reduce + band matvec; charged net of reduce below
     "sqrt": (lambda x, y, e: x + jnp.sqrt(y * y + np.float32(1.0)), 1, 2),
 }
@@ -144,7 +157,12 @@ def main():
     ap.add_argument("--rows", type=int, default=256)
     ap.add_argument("--width", type=int, default=1024)
     ap.add_argument("--h", type=int, default=32)
-    ap.add_argument("--steps", type=int, default=32)
+    # 512 steps x 16 unrolled reps = 8192 reps/chain: ~1-8 ms of chain
+    # time per call, an order of magnitude above the remote tunnel's
+    # timing jitter.  At the old 32-step default the cheap chains sat at
+    # the (tn - t1) resolution floor and read EXACTLY 0.0 on some runs
+    # (mul measured 126 ns one run, 0.0 the next, identical HLO).
+    ap.add_argument("--steps", type=int, default=512)
     ap.add_argument("--unroll", type=int, default=16)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--interpret", action="store_true")
@@ -174,14 +192,16 @@ def main():
         dt = time_scan(run, (x,), iters=args.iters)
         raw[name] = (dt - dt_base) / (n_reps * n_ops) * 1e9
 
-    # Net out helper ops: every body except 'add' carries helper adds,
-    # and a few carry another primitive (EXTRA_DEDUCT).
-    add_ns = raw.get("add", 0.0)
+    # Net out helper ops: most bodies carry helper add-class ops, and a
+    # few carry another primitive (EXTRA_DEDUCT — applied on the NETTED
+    # value, so the other body's own helpers are not deducted twice;
+    # BODIES order puts 'mul' and 'reduce' before their dependents).
+    add_ns = max(raw.get("add", 0.0), 0.0)
     results = {}
     for name, (_, n_ops, n_helper_adds) in BODIES.items():
         ns = raw[name] - add_ns * n_helper_adds / n_ops
         for other, cnt in EXTRA_DEDUCT.get(name, []):
-            ns -= raw.get(other, 0.0) * cnt / n_ops
+            ns -= max(results.get(other, 0.0), 0.0) * cnt / n_ops
         results[name] = ns
         tag = "" if ns >= FLOOR_NS else "   [below floor: folded/noise — not emitted]"
         print(f"{name:10s} {ns:8.1f} ns/op  (raw chain {raw[name]:8.1f}){tag}",
