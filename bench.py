@@ -521,9 +521,10 @@ def main():
     from katsdpsigproc_tpu.models.rfi import roofline as _roofline
 
     cr = _roofline.compute_roofline(args.baselines, args.channels, width=args.width)
+    _mfrac = cr["prim_ns_measured"]
     log(f"compute roofline: {cr['seconds_per_dump'] * 1e3:.2f} ms/dump "
         f"({cr['vis_per_second'] / 1e9:.1f} Gvis/s; prim table "
-        f"{'measured' if cr['prim_ns_measured'] else 'DEFAULT estimates'}) — "
+        f"{f'{_mfrac * 100:.0f}% measured' if _mfrac else 'DEFAULT estimates'}) — "
         f"best engine at {value / cr['vis_per_second'] * 100:.1f}% of it")
     # Measured streaming ceiling: this environment's sustained HBM copy
     # rate sits well below datasheet (round 2: 429 vs 819 GB/s nominal),
@@ -533,7 +534,12 @@ def main():
     measured = {}
     try:
         stream = jnp.zeros((32, 1024, 1024), jnp.float32)  # 128 MB
-        dt_copy = timer(lambda x: x + 1.0, stream)
+        # The probe is one ~0.3 ms op; at the headline iteration count the
+        # (tn - t1) marginal carries enough tunnel jitter to read ABOVE the
+        # 819 GB/s v5e datasheet rate (one round-4 run "measured"
+        # 1344 GB/s).  64 probe iterations put ~20 ms of real copy time on
+        # the chip, an order of magnitude above the jitter.
+        dt_copy = _accum_timer(max(args.iters, 64))(lambda x: x + 1.0, stream)
         copy_gbps = 2 * stream.size * 4 / dt_copy / 1e9  # read + write
         measured = {
             "measured_copy_gbps": copy_gbps,

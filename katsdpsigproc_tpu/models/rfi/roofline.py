@@ -61,9 +61,13 @@ def prim_ns(path: Optional[str] = None) -> Dict[str, float]:
 
     Only plausible measurements override defaults (``MIN_PLAUSIBLE_NS``
     guards against the folded-chain artifacts the first prim_cost run
-    produced — a 512-add chain timed 0.000 ms).  ``__measured__`` is set
-    to 1.0 only when every primitive the inventory uses was measured;
-    otherwise the roofline is honestly reported as partly modeled.
+    produced — a 512-add chain timed 0.000 ms).  ``__measured__`` is the
+    fraction of the inventory's primitives that carry a measurement (1.0
+    = fully measured; absent = pure defaults), so a partly-modeled
+    roofline is reported as such.  A primitive can stay modeled for an
+    honest reason: ``reduce`` nets at or below zero marginal cost on-chip
+    (instruction-level parallelism hides the lane reduction behind the
+    chain's add-class ops), so its conservative default stands.
     """
     table = dict(DEFAULT_PRIM_NS)
     p = path or _PRIM_JSON
@@ -72,8 +76,9 @@ def prim_ns(path: Optional[str] = None) -> Dict[str, float]:
             loaded = {k: float(v) for k, v in json.load(f).items()
                       if k in table and float(v) >= MIN_PLAUSIBLE_NS}
         table.update(loaded)
-        if set(loaded) >= set(DEFAULT_PRIM_NS):
-            table["__measured__"] = 1.0
+        if loaded:
+            table["__measured__"] = len(set(loaded) & set(DEFAULT_PRIM_NS)) / len(
+                DEFAULT_PRIM_NS)
     except (OSError, ValueError):
         pass
     return table
@@ -139,7 +144,7 @@ def compute_roofline(baselines: int, channels: int,
     slab sweep, BASELINE_RESULTS.md round 3).
     """
     table = dict(prim_table) if prim_table is not None else prim_ns()
-    measured = bool(table.pop("__measured__", False))
+    measured = float(table.pop("__measured__", 0.0))
     stage_ns: Dict[str, float] = {}
     for stage, prim, count in op_inventory(width, n_windows):
         stage_ns[stage] = stage_ns.get(stage, 0.0) + count * table[prim]

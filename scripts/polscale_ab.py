@@ -79,7 +79,9 @@ def main():
     probe = jnp.zeros((32, 1024, 1024), jnp.float32)  # 128 MB
 
     def copy_gbps():
-        dt = time_scan(lambda x: x + 1.0, (probe,), iters=args.iters)
+        # 64 iterations: the single ~0.3 ms probe op needs ~20 ms of chip
+        # time for the marginal to clear tunnel jitter (see bench.py).
+        dt = time_scan(lambda x: x + 1.0, (probe,), iters=max(args.iters, 64))
         return 2 * probe.size * 4 / dt / 1e9
 
     # compile both legs before any timing

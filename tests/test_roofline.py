@@ -40,17 +40,18 @@ def test_prim_table_override(tmp_path):
     assert "bogus_key" not in t
     # every inventory primitive measured -> marked fully measured
     assert t.pop("__measured__", None) == 1.0
-    # a partial table overrides per key but is NOT marked measured
+    # a partial table overrides per key; measured fraction reflects it
     p.write_text(json.dumps({"add": 42.0}))
     t = roofline.prim_ns(str(p))
     assert t["add"] == 42.0
-    assert "__measured__" not in t
+    assert t.pop("__measured__") == 1.0 / len(roofline.DEFAULT_PRIM_NS)
     assert t["cmp_f32"] == roofline.DEFAULT_PRIM_NS["cmp_f32"]
     # implausibly cheap entries (folded-chain artifacts) are rejected
     p.write_text(json.dumps(dict(full, add=1.0)))
     t = roofline.prim_ns(str(p))
     assert t["add"] == roofline.DEFAULT_PRIM_NS["add"]
-    assert "__measured__" not in t
+    n = len(roofline.DEFAULT_PRIM_NS)
+    assert t.pop("__measured__") == (n - 1) / n
     # a missing file falls back to pure defaults, unmarked
     t2 = roofline.prim_ns(str(tmp_path / "absent.json"))
     assert "__measured__" not in t2
