@@ -278,7 +278,7 @@ def main():
                              "rows (BASELINE.json config 5 is 4 pols)")
     parser.add_argument("--width", type=int, default=13)
     parser.add_argument("--iters", type=int, default=10)
-    parser.add_argument("--bb", type=int, default=8, help="Pallas baselines-per-block")
+    parser.add_argument("--bb", type=int, default=16, help="Pallas baselines-per-block (16: offline-tuned round 4, and a same-process A/B measured bb=16 1-3%% faster than 8 on both DMA engines)")
     parser.add_argument("--nref", type=int, default=1,
                         help="Pallas blocks per grid step (hybrid engine)")
     parser.add_argument("--slab", type=int, default=288, help="Pallas baselines-per-dispatch")

@@ -80,7 +80,7 @@ def main():
     ap.add_argument("--pols", type=int, default=1)
     ap.add_argument("--width", type=int, default=13)
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--bb", type=int, default=8)
+    ap.add_argument("--bb", type=int, default=16)
     ap.add_argument("--slab", type=int, default=288)
     ap.add_argument("--engine", choices=["fused", "xla", "both"], default="fused")
     ap.add_argument("--channel-shards", type=int, default=1,

@@ -12,7 +12,7 @@ the real BASELINE.json config-5 shape: small/large legs alternate
 S L S L S, each bracketed by a 128 MB copy probe so every timing carries
 its own ceiling.
 
-Usage:  python scripts/polscale_ab.py [--iters 10] [--slab 288] [--bb 8]
+Usage:  python scripts/polscale_ab.py [--iters 10] [--slab 288] [--bb 16]
 """
 
 import argparse
@@ -34,7 +34,7 @@ def main():
     ap.add_argument("--baselines", type=int, default=2016)
     ap.add_argument("--pols", type=int, default=4)
     ap.add_argument("--channels", type=int, default=32768)
-    ap.add_argument("--bb", type=int, default=8)
+    ap.add_argument("--bb", type=int, default=16)
     ap.add_argument("--slab", type=int, default=288)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--engine", choices=["dma", "dma_amp"], default="dma")

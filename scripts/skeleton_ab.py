@@ -52,7 +52,7 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--baselines", type=int, default=2016)
     ap.add_argument("--channels", type=int, default=32768)
-    ap.add_argument("--bb", type=int, default=8)
+    ap.add_argument("--bb", type=int, default=16)
     ap.add_argument("--slab", type=int, default=288)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--reps", type=int, default=3)
