@@ -234,9 +234,11 @@ def _probe_device(timeout_s: float = 180.0, attempts: int = 3,
 
     The tunnel outages are often transient (rounds 1 and 3 both lost
     their driver-captured number to a single-probe abort), so the probe
-    retries: `attempts` probes, `retry_wait_s` apart, each logged.  A
-    probe thread that hung earlier may complete during a later wait —
-    any completion counts.
+    waits through `attempts` logged windows, `retry_wait_s` apart.  ONE
+    op is issued for the whole probe: the hung op completing IS the
+    health signal, and issuing a second concurrent op over a slow-but-
+    alive tunnel risks wedging it (CLAUDE.md: one TPU interaction at a
+    time).
     """
     import threading
 
@@ -249,18 +251,17 @@ def _probe_device(timeout_s: float = 180.0, attempts: int = 3,
         np.asarray(jnp.sum(jnp.ones((8, 128)) * 3.0))
         done.set()
 
+    threading.Thread(target=trivial, daemon=True).start()
     for attempt in range(1, attempts + 1):
-        t = threading.Thread(target=trivial, daemon=True)
-        t.start()
         if done.wait(timeout_s):
             if attempt > 1:
-                log(f"device probe succeeded on attempt {attempt}")
+                log(f"device probe completed during wait window {attempt}")
             return
-        log(f"device probe attempt {attempt}/{attempts}: no completion in "
+        log(f"device probe window {attempt}/{attempts}: no completion in "
             f"{timeout_s:.0f}s (tunneled backend down?)"
-            + (f"; retrying in {retry_wait_s:.0f}s" if attempt < attempts else ""))
+            + (f"; waiting another {retry_wait_s:.0f}s" if attempt < attempts else ""))
         if attempt < attempts and done.wait(retry_wait_s):
-            log(f"device probe completed during the retry wait (attempt {attempt})")
+            log(f"device probe completed during the retry wait (window {attempt})")
             return
     log(f"ERROR: device unreachable — {attempts} probes over "
         f"{(attempts * timeout_s + (attempts - 1) * retry_wait_s) / 60:.0f} min "
@@ -485,18 +486,22 @@ def main():
     try:
         vis_leading = jnp.moveaxis(jnp.swapaxes(vis_xla, 0, 1), -1, 0)
         vis_leading.block_until_ready()
-        # Same slab as the headline pallas leg, so the A/B isolates the
-        # layout (corner-turn copy) alone, not slab granularity.
+        # One-shot whole-dump slab: the leading layout's zero-copy ingest
+        # exists only on the slab >= baselines path (flag_dump's scan path
+        # re-permutes the leading dump — a full-size copy that would
+        # re-introduce exactly the corner turn this leg quantifies
+        # removing).  The slab switch is recorded in the JSON note.
         t_lead = timer(
             lambda v: pallas_flagger.flag_dump(
-                v, slab=slab, width=args.width, n_sigma=11.0,
+                v, slab=args.baselines, width=args.width, n_sigma=11.0,
                 bb=args.bb, interpret=interpret, layout="leading"),
             vis_leading,
         )
         extras["pallas_leading_ingest"] = {
             "seconds_per_dump": t_lead,
             "vis_per_second": n_vis / t_lead,
-            "note": "planar-leading (2,B,C) ingest; excluded from headline",
+            "note": "planar-leading (2,B,C) ingest, one-shot whole-dump "
+                    "slab (zero-copy path); excluded from headline",
         }
         log(f"engine[pallas_leading_ingest]: {t_lead * 1e3:.3f} ms "
             f"({n_vis / t_lead / 1e9:.2f} Gvis/s; non-headline leg)")

@@ -136,6 +136,27 @@ def _fold_vis(vis_t, layout: str, baselines: int, hh: int, fold: int, padded_c: 
     return vis_t.reshape(2, baselines * hh, fold)
 
 
+def _fold_amp(vis_t, layout: str, baselines: int, hh: int, fold: int, padded_c: int,
+              channels: int):
+    """``ingest="amp"`` preamble: XLA amplitude + free band-fold reshape.
+
+    Streams 4 B/vis into the kernel instead of the 8 B planar pair; the
+    fold is a pure reshape in either layout (no corner turn).  Padding
+    columns never enter valid window members (the kernel's column masks),
+    so zero-fill is safe.  Shared by ``flag_transposed``,
+    ``flag_transposed_dma``, and the skeleton A/B harness so the
+    engines cannot drift.
+    """
+    if layout == "trailing":
+        re, im = vis_t[..., 0], vis_t[..., 1]
+    else:
+        re, im = vis_t[0], vis_t[1]
+    amp2d = jnp.sqrt(re * re + im * im)  # (B, C)
+    if padded_c != channels:
+        amp2d = jnp.pad(amp2d, ((0, 0), (0, padded_c - channels)))
+    return amp2d.reshape(baselines * hh, fold)
+
+
 def _roll(x, shift: int, axis: int, interpret: bool):
     """Static roll: pltpu.roll on hardware, jnp.roll in interpret mode."""
     if shift % x.shape[axis] == 0:
@@ -1028,15 +1049,7 @@ def flag_transposed(vis_t, input_flags=None, width: int = 13, n_sigma: float = 1
     baselines, channels = _vis_dims(vis_t, layout)
     fold, hh, padded_c = _fold_setup(channels, bb, fold, baselines, nref)
     if ingest == "amp":
-        # XLA amplitude + free band-fold reshape (see flag_transposed_dma).
-        if layout == "trailing":
-            re, im = vis_t[..., 0], vis_t[..., 1]
-        else:
-            re, im = vis_t[0], vis_t[1]
-        amp2d = jnp.sqrt(re * re + im * im)
-        if padded_c != channels:
-            amp2d = jnp.pad(amp2d, ((0, 0), (0, padded_c - channels)))
-        folded = amp2d.reshape(baselines * hh, fold)
+        folded = _fold_amp(vis_t, layout, baselines, hh, fold, padded_c, channels)
     else:
         # Band-folded rows: row b*hh + h holds channels [h*fold, (h+1)*fold),
         # with re/im on a LEADING planar axis (lane dim stays `fold`).
@@ -1303,15 +1316,7 @@ def flag_transposed_dma(vis_t, input_flags=None, width: int = 13, n_sigma: float
         raise RuntimeError("flag_transposed_dma needs jax.experimental.pallas.tpu")
     fold, hh, padded_c = _fold_setup(channels, bb, fold, baselines)
     if ingest == "amp":
-        if layout == "trailing":
-            re, im = vis_t[..., 0], vis_t[..., 1]
-        else:
-            re, im = vis_t[0], vis_t[1]
-        amp2d = jnp.sqrt(re * re + im * im)  # (B, C)
-        if padded_c != channels:
-            # padding columns never enter valid window members (col masks)
-            amp2d = jnp.pad(amp2d, ((0, 0), (0, padded_c - channels)))
-        folded = amp2d.reshape(baselines * hh, fold)
+        folded = _fold_amp(vis_t, layout, baselines, hh, fold, padded_c, channels)
     else:
         folded = _fold_vis(vis_t, layout, baselines, hh, fold, padded_c, channels)
     if padded_c != channels:

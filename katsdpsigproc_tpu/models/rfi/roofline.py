@@ -113,12 +113,20 @@ def op_inventory(width: int = 13, n_windows: int = 4,
     """
     half_ladders = sum(int(w).bit_length() - 1 for w in
                        (2 ** i for i in range(n_windows)))  # 0+1+2+3 = 6
+    # The parity-fill median's actual network for this width: the two
+    # middle sorted ranks of `width` members (pallas_flagger.
+    # _median_parity_fill), counted op-for-op (a 'both' entry is a min
+    # AND a max).  61 ops at the shipped width 13.
+    from ...ops import rank as _rank_ops
+
+    net = _rank_ops.selection_network(width, (width // 2, width // 2 + 1))
+    net_ops = sum(2 if mode == "both" else 1 for _, _, mode in net)
     inv = [
         ("amplitude", "add", 2),
         ("amplitude", "sqrt", 1),
         ("median", "shift_ch", width - 1),
         ("median", "add", 2),  # edge parity fills
-        ("median", "minmax", 61),  # selection network (61 min/max ops)
+        ("median", "minmax", net_ops),  # selection network min/max ops
         ("median", "add", 1),  # background subtract
         ("rank", "cmp_f32", rank_rounds + 1),  # rounds + zeros sweep
         ("rank", "reduce", rank_rounds + 1),

@@ -42,16 +42,25 @@ async def wait_until(future: Awaitable[_T], when: float,
                      loop: Optional[asyncio.AbstractEventLoop] = None) -> _T:
     """Like :func:`asyncio.wait_for`, but with an absolute deadline.
 
-    ``when`` is a time on the event loop's clock (``loop.time()``); the same
-    contract as the reference (resource.py:31-56), expressed here as a
-    loop-time delta handed to :func:`asyncio.wait_for` (which cancels the
-    future and raises :class:`asyncio.TimeoutError` at the deadline).
+    ``when`` is a time on the event loop's clock (``loop.time()``); the
+    same contract as the reference (resource.py:31-56).  Implemented on
+    :func:`asyncio.wait` rather than :func:`asyncio.wait_for`: ``wait_for``
+    *awaits* the future after cancelling it, which never returns when the
+    work cannot actually be cancelled — e.g. a run_in_executor thread
+    blocked in a device wait on a hung remote chip, exactly the situation
+    a deadline exists for.  Here the deadline fires unconditionally:
+    cancellation is requested best-effort and the TimeoutError is raised
+    immediately, leaving an uncancellable worker to finish in the
+    background.
     """
     if loop is None:
         loop = asyncio.get_event_loop()
     pending = asyncio.ensure_future(future, loop=loop)
-    remaining = when - loop.time()
-    return await asyncio.wait_for(pending, max(0.0, remaining))
+    done, _ = await asyncio.wait((pending,), timeout=max(0.0, when - loop.time()))
+    if not done:
+        pending.cancel()
+        raise asyncio.TimeoutError()
+    return pending.result()
 
 
 async def async_wait_for_events(events: Iterable,

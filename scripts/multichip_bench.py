@@ -37,7 +37,7 @@ Multi-host launch: run one copy of this script per host under
 
 Prints one JSON line per engine:
   {"metric": "multichip_scaling_efficiency", ...,
-   "n_devices": N, "per_chip_gvis": ..., "efficiency": ...}
+   "n_devices": N, "per_chip_vis_per_second": ..., "value": efficiency}
 """
 
 import argparse

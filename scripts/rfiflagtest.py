@@ -118,7 +118,7 @@ def main():
     parser.add_argument("--sigmas", type=float, default=11.0)
     parser.add_argument("--engine", choices=["xla", "hybrid", "pallas", "pallas_dma", "pallas_dma_amp"],
                         default="xla",
-                        help="1-D flagger engine (bench.py times five variants)")
+                        help="1-D flagger engine (bench.py times six variants)")
     parser.add_argument("--skip-host", action="store_true")
     args = parser.parse_args()
 

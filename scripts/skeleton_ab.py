@@ -75,8 +75,9 @@ def main():
         return pf._fold_vis(v, "trailing", B, hh, fold, padded_c, C)
 
     def amp_fold(v):
-        amp = jnp.sqrt(v[..., 0] * v[..., 0] + v[..., 1] * v[..., 1])
-        return amp.reshape(B * hh, fold)
+        # The engines' shared preamble (includes the channel pad, which a
+        # hand-rolled copy here once dropped — crashed at padded shapes).
+        return pf._fold_amp(v, "trailing", B, hh, fold, padded_c, C)
 
     def dma_planar(v):
         return pf.flag_dump(v, slab=args.slab, bb=args.bb, pipeline="dma",
