@@ -62,7 +62,16 @@ def shard(mesh: Mesh, array, transposed: bool = False):
     process passes the full (replicated) host array and each device takes
     its shard (``device_put`` would reject a multi-process sharding).
     """
-    sharding = vis_sharding(mesh, transposed)
+    return shard_with_spec(mesh, array, vis_sharding(mesh, transposed).spec)
+
+
+def shard_with_spec(mesh: Mesh, array, spec):
+    """Place an arbitrary host array onto the mesh with ``spec``.
+
+    Same cross-process contract as :func:`shard`: every process passes
+    the full (replicated) host array; each device takes its shard.
+    """
+    sharding = NamedSharding(mesh, spec)
     if jax.process_count() > 1:
         array = np.asarray(array)
         return jax.make_array_from_callback(array.shape, sharding, lambda idx: array[idx])

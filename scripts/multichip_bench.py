@@ -88,8 +88,15 @@ def main():
                          "(makes the halo exchange + collective rank "
                          "search real)")
     ap.add_argument("--multihost", action="store_true",
-                    help="call parallel.multihost.initialize() first "
-                         "(JAX_COORDINATOR/JAX_NUM_PROCESSES/JAX_PROCESS_ID env)")
+                    help="call parallel.multihost.initialize() first; on "
+                         "TPU pods the runtime discovers the cluster, on "
+                         "CPU/GPU pass --coordinator/--num-processes/"
+                         "--process-id")
+    ap.add_argument("--coordinator", default=None,
+                    help="coordinator address (host:port) for --multihost "
+                         "off-pod")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -103,7 +110,7 @@ def main():
     from katsdpsigproc_tpu.utils.profiling import time_scan
 
     if args.multihost:
-        multihost.initialize()
+        multihost.initialize(args.coordinator, args.num_processes, args.process_id)
         log(multihost.process_summary())
 
     n = jax.device_count()
@@ -128,21 +135,23 @@ def main():
                   pmesh.make_mesh((n // args.channel_shards, args.channel_shards),
                                   (pmesh.BASELINE_AXIS, pmesh.CHANNEL_AXIS)))
         fn_n = make_fn(mesh_n)
-        vis_n = jax.device_put(
-            jnp.asarray(vis_sharded_np),
-            jax.sharding.NamedSharding(mesh_n, spec_for(mesh_n)))
+        # Cross-process-safe placement (every process passes the full
+        # replicated host array; device_put rejects multi-process shardings).
+        vis_n = pmesh.shard_with_spec(mesh_n, vis_sharded_np, spec_for(mesh_n))
         t_n = time_scan(fn_n, (vis_n,), iters=args.iters)
 
-        # 1-device leg: same per-device work (1/N of the rows; for the
-        # channel-sharded xla engine, 1/N of rows*channels via rows).
-        mesh_1 = pmesh.make_mesh((1,), (pmesh.BASELINE_AXIS,), devices=jax.devices()[:1])
+        # 1-device control leg: same per-device work (1/N of the rows; for
+        # the channel-sharded xla engine, 1/N of rows*channels via rows).
+        # Each process times its own LOCAL device — a global 1-device mesh
+        # would be non-addressable from the other processes.
+        mesh_1 = pmesh.make_mesh((1,), (pmesh.BASELINE_AXIS,),
+                                 devices=jax.local_devices()[:1])
         fn_1 = make_fn(mesh_1)
         if name == "fused":
             slice_np = vis_sharded_np[: rows // n]
         else:
             slice_np = vis_sharded_np[:, : rows // n]
-        vis_1 = jax.device_put(jnp.asarray(slice_np),
-                               jax.sharding.NamedSharding(mesh_1, spec_for(mesh_1)))
+        vis_1 = pmesh.shard_with_spec(mesh_1, slice_np, spec_for(mesh_1))
         t_1 = time_scan(fn_1, (vis_1,), iters=args.iters)
 
         eff = t_1 / t_n if t_n > 0 else float("nan")
@@ -192,8 +201,11 @@ def main():
                        else None,
                        pmesh.BASELINE_AXIS, None))
 
-    for rec in results:
-        print(json.dumps(rec))
+    # One JSON stream per job: only the coordinator process emits records
+    # (every process computed the same global timings).
+    if jax.process_index() == 0:
+        for rec in results:
+            print(json.dumps(rec))
 
 
 if __name__ == "__main__":
