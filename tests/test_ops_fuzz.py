@@ -25,7 +25,7 @@ def _draws(seed, n):
     return np.random.RandomState(seed).randint(0, 1 << 30, size=n)
 
 
-@pytest.mark.parametrize("seed", _draws(11, 8))
+@pytest.mark.parametrize("seed", _draws(11, 4))
 def test_percentile5_engines(seed):
     rs = np.random.RandomState(seed)
     rows = int(rs.randint(1, 40))
