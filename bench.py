@@ -280,6 +280,10 @@ def main():
     parser.add_argument("--width", type=int, default=13)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--bb", type=int, default=16, help="Pallas baselines-per-block (16: offline-tuned round 4, and a same-process A/B measured bb=16 1-3%% faster than 8 on both DMA engines)")
+    parser.add_argument("--fold", type=int, default=8192,
+                        help="band-fold lane width for the Pallas engines "
+                             "(capped at the padded channel count; 8192: "
+                             "round-4 on-chip ladder, 17%% over the old 1024)")
     parser.add_argument("--nref", type=int, default=1,
                         help="Pallas blocks per grid step (hybrid engine)")
     parser.add_argument("--slab", type=int, default=288, help="Pallas baselines-per-dispatch")
@@ -436,7 +440,8 @@ def main():
         ("pallas", lambda: timer(
             lambda v: pallas_flagger.flag_dump(
                 jnp.swapaxes(v, 0, 1), slab=slab, width=args.width,
-                n_sigma=11.0, bb=args.bb, nref=args.nref, interpret=interpret,
+                n_sigma=11.0, bb=args.bb, nref=args.nref, fold=args.fold,
+                interpret=interpret,
             ),
             vis_xla,
         )),
@@ -445,7 +450,8 @@ def main():
         ("pallas_dma", lambda: timer(
             lambda v: pallas_flagger.flag_dump(
                 jnp.swapaxes(v, 0, 1), slab=slab, width=args.width,
-                n_sigma=11.0, bb=args.bb, pipeline="dma", interpret=interpret,
+                n_sigma=11.0, bb=args.bb, fold=args.fold, pipeline="dma",
+                interpret=interpret,
             ),
             vis_xla,
         )),
@@ -455,7 +461,7 @@ def main():
         ("pallas_dma_amp", lambda: timer(
             lambda v: pallas_flagger.flag_dump(
                 jnp.swapaxes(v, 0, 1), slab=slab, width=args.width,
-                n_sigma=11.0, bb=args.bb, pipeline="dma", ingest="amp",
+                n_sigma=11.0, bb=args.bb, fold=args.fold, pipeline="dma", ingest="amp",
                 interpret=interpret,
             ),
             vis_xla,
@@ -494,7 +500,7 @@ def main():
         t_lead = timer(
             lambda v: pallas_flagger.flag_dump(
                 v, slab=args.baselines, width=args.width, n_sigma=11.0,
-                bb=args.bb, interpret=interpret, layout="leading"),
+                bb=args.bb, fold=args.fold, interpret=interpret, layout="leading"),
             vis_leading,
         )
         extras["pallas_leading_ingest"] = {

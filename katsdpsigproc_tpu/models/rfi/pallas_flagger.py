@@ -858,7 +858,7 @@ class FusedFlaggerTemplate:
     ``wgs``/``csplit`` searches.
     """
 
-    autotune_version = 6  # v6: the `ingest` dimension (planar vs amp stream)
+    autotune_version = 7  # v7: the `fold` (band lane width) dimension
 
     def __init__(self, context, width: int = 13, n_windows: int = 4,
                  threshold_falloff: float = 1.2, flag_value: int = 1, tuning=None):
@@ -873,9 +873,11 @@ class FusedFlaggerTemplate:
         self.nref = tuning.get("nref", 1)
         self.pipeline = tuning.get("pipeline", "grid")
         self.ingest = tuning.get("ingest", "planar")
+        self.fold = tuning.get("fold", 1024)
 
     @classmethod
-    @_tune.autotuner(test={"bb": 4, "nref": 1, "pipeline": "grid", "ingest": "planar"})
+    @_tune.autotuner(test={"bb": 4, "nref": 1, "pipeline": "grid", "ingest": "planar",
+                           "fold": 1024})
     def autotune(cls, context, width, n_windows):
         # 256 baselines ≈ the production slab (flag_dump slices 256–288):
         # 64 under-represented the per-block amortization and mis-ranked bb.
@@ -883,24 +885,35 @@ class FusedFlaggerTemplate:
         rs = np.random.RandomState(seed=1)
         vis_t = jnp.asarray(rs.standard_normal((baselines, channels, 2)).astype(np.float32))
 
-        def generate(bb, nref, pipeline, ingest):
+        def generate(bb, nref, pipeline, ingest, fold):
             if nref != 1 and (pipeline == "dma" or ingest == "amp"):
                 raise ValueError("config skipped: nref>1 applies only to "
                                  "pipeline='grid' with planar ingest")
+            if (bb * -(-channels // fold)) % 8:
+                raise ValueError("config skipped: bb*hh not a sublane multiple")
             def call(v):
                 if pipeline == "dma":
                     return flag_transposed_dma(
-                        v, width=width, n_windows=n_windows, bb=bb, ingest=ingest
+                        v, width=width, n_windows=n_windows, bb=bb, fold=fold,
+                        ingest=ingest
                     )
                 return flag_transposed(
                     v, width=width, n_windows=n_windows, bb=bb, nref=nref,
-                    ingest=ingest
+                    fold=fold, ingest=ingest
                 )
 
             return _tune.make_measure(call, vis_t)
 
+        # fold (the band-fold lane width) reshapes the block at constant
+        # footprint: wider folds mean fewer bands and cheaper cross-band
+        # shift corrections.  The old fixed 1024 dated to round-2
+        # remote-AOT ceilings; the round-4 ladder measured 1024 -> 8192 as
+        # 11.60 -> 9.66 ms/dump on v5e (16384 ties; a fully-unfolded
+        # 32768-lane block still crashes the remote compile helper at
+        # bb >= 16, and compiles-but-loses at bb = 8).
         return _tune.autotune(generate, bb=[1, 2, 4, 8, 16, 32], nref=[1, 2],
-                              pipeline=["grid", "dma"], ingest=["planar", "amp"])
+                              pipeline=["grid", "dma"], ingest=["planar", "amp"],
+                              fold=[1024, 8192, 16384])
 
     def __call__(self, vis_t, input_flags=None, n_sigma: float = 11.0, interpret: bool = False,
                  channel_flags=None):
@@ -914,6 +927,7 @@ class FusedFlaggerTemplate:
                 falloff=self.threshold_falloff,
                 flag_value=self.flag_value,
                 bb=self.bb,
+                fold=self.fold,
                 interpret=interpret,
                 channel_flags=channel_flags,
                 ingest=self.ingest,
@@ -927,6 +941,7 @@ class FusedFlaggerTemplate:
             falloff=self.threshold_falloff,
             flag_value=self.flag_value,
             bb=self.bb,
+            fold=self.fold,
             interpret=interpret,
             channel_flags=channel_flags,
             nref=self.nref,

@@ -35,6 +35,7 @@ def main():
     ap.add_argument("--pols", type=int, default=4)
     ap.add_argument("--channels", type=int, default=32768)
     ap.add_argument("--bb", type=int, default=16)
+    ap.add_argument("--fold", type=int, default=8192)
     ap.add_argument("--slab", type=int, default=288)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--engine", choices=["dma", "dma_amp"], default="dma")
@@ -65,8 +66,8 @@ def main():
     vis_small = jnp.asarray(big[:rows_small])
     del big
 
-    kw = dict(slab=args.slab, n_sigma=11.0, bb=args.bb, pipeline="dma",
-              interpret=args.interpret)
+    kw = dict(slab=args.slab, n_sigma=11.0, bb=args.bb, fold=args.fold,
+              pipeline="dma", interpret=args.interpret)
     if args.engine == "dma_amp":
         kw["ingest"] = "amp"
 

@@ -53,6 +53,7 @@ def main():
     ap.add_argument("--baselines", type=int, default=2016)
     ap.add_argument("--channels", type=int, default=32768)
     ap.add_argument("--bb", type=int, default=16)
+    ap.add_argument("--fold", type=int, default=8192)
     ap.add_argument("--slab", type=int, default=288)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--reps", type=int, default=3)
@@ -66,7 +67,7 @@ def main():
     vis_np = rs.standard_normal((B, C, 2)).astype(np.float32)
     vis_np[rs.random_sample((B, C)) < 1 / 64.0, :] += 30.0
     vis = jnp.asarray(vis_np)  # baseline-major trailing planar
-    fold, hh, padded_c = pf._fold_setup(C, args.bb, 1024, B)
+    fold, hh, padded_c = pf._fold_setup(C, args.bb, args.fold, B)
 
     def identity(v):
         return v
@@ -80,12 +81,12 @@ def main():
         return pf._fold_amp(v, "trailing", B, hh, fold, padded_c, C)
 
     def dma_planar(v):
-        return pf.flag_dump(v, slab=args.slab, bb=args.bb, pipeline="dma",
-                            interpret=args.interpret)
+        return pf.flag_dump(v, slab=args.slab, bb=args.bb, fold=args.fold,
+                            pipeline="dma", interpret=args.interpret)
 
     def dma_amp(v):
-        return pf.flag_dump(v, slab=args.slab, bb=args.bb, pipeline="dma",
-                            ingest="amp", interpret=args.interpret)
+        return pf.flag_dump(v, slab=args.slab, bb=args.bb, fold=args.fold,
+                            pipeline="dma", ingest="amp", interpret=args.interpret)
 
     a = np.asarray(dma_planar(vis))
     b = np.asarray(dma_amp(vis))
