@@ -34,12 +34,16 @@ import json
 import os
 from typing import Dict, List, Mapping, Optional, Tuple
 
-# Per-primitive cost in ns at a (256, 1024) float32 block.  The "add"
-# entry anchors the scale: 8 × 8.5 ns (the measured (32, 1024) op cost,
-# BASELINE_RESULTS.md round 2; a (256, 1024) op moves 8× the elements).
-# Relative weights for the rest are conservative estimates pending the
-# on-chip ``scripts/prim_cost.py --emit-json`` refresh (which overrides
-# them per key with measurements via prim_ns.json).
+# Per-primitive cost in ns at a 262144-element float32 block (any
+# (rows, lanes) aspect with rows*lanes == 256*1024).  The "add" entry
+# anchors the scale: 8 × 8.5 ns (the measured (32, 1024) op cost,
+# BASELINE_RESULTS.md round 2).  Relative weights for the rest are
+# conservative estimates; the on-chip ``scripts/prim_cost.py
+# --emit-json`` refresh overrides them per key via prim_ns.json.
+# COSTS ARE LAYOUT-SENSITIVE: measure at the SHIPPED kernel's block
+# aspect (round 4: ``--rows 32 --width 8192`` for the fold-8192 layout;
+# shift_ch measured 2.9× cheaper there than at (256, 1024)), so the
+# floor prices the same layout the kernel runs.
 DEFAULT_PRIM_NS: Dict[str, float] = {
     "add": 68.0,        # elementwise add/or/select-class op
     "minmax": 68.0,     # one min or max (the selection-network unit)

@@ -1,5 +1,11 @@
 #!/usr/bin/env python
-"""Per-primitive in-kernel cost on the chip (Mosaic, (256, 1024) f32 block).
+"""Per-primitive in-kernel cost on the chip (Mosaic, 262144-element f32 block).
+
+Costs are LAYOUT-SENSITIVE — run at the shipped kernel's block aspect
+(round 4, fold=8192: ``--rows 32 --width 8192``; the cross-band channel
+shift measured 386 ns at (256, 1024) but 133 ns at (32, 8192)).  The
+roofline loader consumes whatever aspect was last emitted, so keep
+prim_ns.json in step with the shipped fold.
 
 The fused flagger's traced-op census assumed one full-block vector op costs
 the same regardless of kind; the parity-fill fast path (2.5x fewer median
