@@ -360,13 +360,13 @@ def main():
         args.width, 11.0, threshold="sum",
         baseline_block=min(args.slab, args.baselines),
         engine="hybrid",
-        pallas_kw=dict(bb=args.bb, nref=args.nref, interpret=interpret),
+        pallas_kw=dict(bb=args.bb, nref=args.nref, fold=args.fold, interpret=interpret),
     )
     hybrid_dma_fn = rfi_device.make_flagger_fn(
         args.width, 11.0, threshold="sum",
         baseline_block=min(args.slab, args.baselines),
         engine="hybrid",
-        pallas_kw=dict(bb=args.bb, interpret=interpret, pipeline="dma"),
+        pallas_kw=dict(bb=args.bb, fold=args.fold, interpret=interpret, pipeline="dma"),
     )
 
     # ---- parity check on a subsampled block (vs host oracle) -------------

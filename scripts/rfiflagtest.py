@@ -44,7 +44,8 @@ def benchmark1d(args, data):
     # sublane tiling (bb*H % 8 == 0): per-baseline in-kernel cost keeps
     # falling to bb≈8 (scripts/fused_bb_sweep.py; the planar-leading
     # layout removed round 1's 64-sublane-row AOT ceiling).
-    hh = max(1, -(-args.channels // 1024))
+    FOLD = 8192  # round-4 tuned band lane width (capped by _fold_setup)
+    hh = max(1, -(-args.channels // FOLD))
     bb = next((c for c in (8, 4, 2, 1)
                if args.baselines % c == 0
                and ((c * hh) % 8 == 0 or c == args.baselines)), 1)
@@ -57,14 +58,15 @@ def benchmark1d(args, data):
                 ingest = "amp" if args.engine.endswith("amp") else "planar"
                 flags_t = pallas_flagger.flag_transposed_dma(
                     vis_t, width=args.width, n_sigma=args.sigmas,
-                    bb=bb, ingest=ingest, interpret=interpret)
+                    bb=bb, fold=FOLD, ingest=ingest, interpret=interpret)
             else:
                 flags_t = pallas_flagger.flag_dump(
                     vis_t, width=args.width, n_sigma=args.sigmas,
-                    bb=bb, interpret=interpret)
+                    bb=bb, fold=FOLD, interpret=interpret)
             return jnp.swapaxes(flags_t, 0, 1)
     else:
-        pallas_kw = dict(bb=bb, interpret=interpret) if args.engine == "hybrid" else None
+        pallas_kw = (dict(bb=bb, fold=FOLD, interpret=interpret)
+                     if args.engine == "hybrid" else None)
         fn = rfi_device.make_flagger_fn(args.width, args.sigmas, threshold="sum",
                                         engine=args.engine, pallas_kw=pallas_kw)
     # Planar split-complex layout: TPU backends have no complex dtype
