@@ -188,6 +188,7 @@ def make_sharded_fused_flagger(
     n_sigma: float = 11.0,
     slab: int = 256,
     bb: int = 8,
+    fold: int = 8192,
     n_windows: int = 4,
     threshold_falloff: float = 1.2,
     flag_value: int = 1,
@@ -221,7 +222,7 @@ def make_sharded_fused_flagger(
 
     kw = dict(slab=slab, width=width, n_sigma=n_sigma, n_windows=n_windows,
               falloff=threshold_falloff, flag_value=flag_value, bb=bb,
-              pipeline=pipeline, interpret=interpret, ingest=ingest)
+              fold=fold, pipeline=pipeline, interpret=interpret, ingest=ingest)
 
     def local(vis_t, input_flags=None):
         return pallas_flagger.flag_dump(vis_t, input_flags, **kw)
