@@ -359,11 +359,13 @@ def _madnz_band(absdev, g, h: int, channels: int, interpret: bool,
         raise ValueError("rank_radix must be 1..4")
     if rank_pair and rank_radix != 1:
         raise ValueError("rank_pair applies to the binary (radix 1) search")
-    if rank_pair and absdev.shape[1] >= 1 << 16:
-        # count_pair packs two per-row counts into one int32 with 16-bit
-        # fields; rows of >= 65536 lanes would overflow the low field.
+    if rank_pair and absdev.shape[1] >= 1 << 15:
+        # count_pair packs two per-row counts as c_hi + (c_both << 16) in
+        # one SIGNED int32: c_both can equal the lane width W, so W >=
+        # 32768 pushes the high field to 2^31 and wraps negative (wrong
+        # counts, inexact medians) well before the low field saturates.
         raise ValueError(
-            f"rank_pair requires lane width < 65536, got {absdev.shape[1]}"
+            f"rank_pair requires lane width < 32768, got {absdev.shape[1]}"
         )
     # f32 packing scale: per-row counts ≤ W ≤ 1024 < 4096, and the packed
     # value < 4096·1024 + 1024 < 2²⁴, so both fields are exact in f32.

@@ -83,7 +83,11 @@ def prim_ns(path: Optional[str] = None) -> Dict[str, float]:
         if loaded:
             table["__measured__"] = len(set(loaded) & set(DEFAULT_PRIM_NS)) / len(
                 DEFAULT_PRIM_NS)
-    except (OSError, ValueError):
+    except (OSError, ValueError, TypeError):
+        # TypeError: float(None)/float(list) from a malformed or
+        # partially-written JSON value — fall back to the modeled
+        # defaults rather than abort the caller (bench.py runs this
+        # unconditionally).
         pass
     return table
 

@@ -69,7 +69,8 @@ def main():
     run("madnz transposed", lambda: rfi_device.NoiseEstMADTDeviceTemplate(ctx).radix_bits)
     run("madnz straight", lambda: rfi_device.NoiseEstMADDeviceTemplate(ctx).radix_bits)
     run("fused flagger", lambda: (
-        lambda t: (t.bb, t.nref, t.pipeline, t.ingest))(pallas_flagger.FusedFlaggerTemplate(ctx)))
+        lambda t: (t.bb, t.nref, t.pipeline, t.ingest, t.fold))(
+            pallas_flagger.FusedFlaggerTemplate(ctx)))
 
     # Merge scratch DB into the shipped table
     table_path = os.path.join(

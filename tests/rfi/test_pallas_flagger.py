@@ -379,6 +379,11 @@ def test_rank_pair_matches_binary():
     np.testing.assert_array_equal(paired, base)
     with pytest.raises(ValueError, match="rank_pair"):
         _madnz_band(x, g, h, channels, True, rank_radix=2, rank_pair=True)
+    # the 16-bit count pack is SIGNED-int32-exact only below 32768 lanes:
+    # c_both can equal the lane width, and 32768 << 16 wraps negative
+    wide = jnp.zeros((8, 1 << 15), jnp.float32)
+    with pytest.raises(ValueError, match="32768"):
+        _madnz_band(wide, _band_matrix(8, 8), 8, 1 << 18, True, rank_pair=True)
 
 
 @pytest.mark.slow

@@ -56,3 +56,8 @@ def test_prim_table_override(tmp_path):
     t2 = roofline.prim_ns(str(tmp_path / "absent.json"))
     assert "__measured__" not in t2
     assert t2 == roofline.DEFAULT_PRIM_NS
+    # malformed values (null / nested JSON on a real key) fall back to
+    # the defaults instead of raising out of bench.py's loader
+    for bad in ('{"add": null}', '{"add": [1, 2]}', "not json at all"):
+        p.write_text(bad)
+        assert roofline.prim_ns(str(p)) == roofline.DEFAULT_PRIM_NS
