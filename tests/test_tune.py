@@ -196,3 +196,41 @@ def test_shipped_table_covers_every_template(tmp_path, monkeypatch):
     rfi_device.NoiseEstMADTDeviceTemplate(ctx)
     rfi_device.NoiseEstMADDeviceTemplate(ctx)
     pallas_flagger.FusedFlaggerTemplate(ctx)
+
+
+def test_shipped_table_versions_match_code():
+    """Millisecond-fast JSON check: every template's ``autotune_version``
+    has a same-version record in the SHIPPED table.  ``_fetch`` matches on
+    'version' and never relaxes it, so a version bump without a table
+    refresh silently degrades to a live measured search (minutes of
+    remote compiles) or, under KATSDPSIGPROC_TPU_TUNE_STUB, to the test
+    config — exactly how the round-4 ``fold`` bump (v6 → v7) briefly
+    shipped a dead FusedFlaggerTemplate record.  The instantiation test
+    above catches this too, but only when the 5-minute suite runs; this
+    one fails in the first second of any run."""
+    import json
+    import os
+
+    from katsdpsigproc_tpu.models.rfi import device as rfi_device, pallas_flagger
+    from katsdpsigproc_tpu.ops import percentile, transpose
+    from katsdpsigproc_tpu.utils import tune
+
+    table = json.load(open(os.path.join(os.path.dirname(tune.__file__),
+                                        "tuning_table.json")))
+    by_fn = {}
+    for rec in table:
+        by_fn.setdefault(rec["fn"], set()).add(rec["version"])
+    for cls in [
+        transpose.TransposeTemplate,
+        percentile.Percentile5Template,
+        rfi_device.BackgroundMedianFilterDeviceTemplate,
+        rfi_device.NoiseEstMADTDeviceTemplate,
+        rfi_device.NoiseEstMADDeviceTemplate,
+        pallas_flagger.FusedFlaggerTemplate,
+    ]:
+        fn = f"{cls.__name__}.autotune"
+        assert cls.autotune_version in by_fn.get(fn, set()), (
+            f"{fn}: shipped table has versions {sorted(by_fn.get(fn, set()))} "
+            f"but the code requires autotune_version={cls.autotune_version} — "
+            f"re-run scripts/tune_all.py (or scripts/retune_fused.py) on-chip"
+        )
