@@ -128,10 +128,15 @@ def bench_config2(args):
     # goes negative (maskedsum "measured" 52 Pelem/s once at iters=200).
     timer = _accum_timer(max(args.iters, 200))
     timer_us = _accum_timer(max(args.iters, 2000))
-    # Tuned engine (rank / sort / pallas) from the shipped table.
+    # Tuned engine (rank / sort / pallas) from the shipped table.  The
+    # template is instantiated at the shipped record's max_columns
+    # granularity (5000, the reference percentiletest config — a capacity
+    # hint, valid for any narrower call): requesting exactly `cols` would
+    # miss the table (`args` never nearest-matches) and fall through to a
+    # LIVE measured engine search — minutes on CPU drives of this config.
     from katsdpsigproc_tpu.utils import backend as _b
 
-    tmpl = pct.Percentile5Template(_b.create_some_context(), cols, True)
+    tmpl = pct.Percentile5Template(_b.create_some_context(), max(cols, 5000), True)
     log(f"config2 percentile engine: {tmpl.engine}")
     dt_pct = timer(lambda a: pct.percentile5(a, engine=tmpl.engine), x)
     dt_ms = timer_us(ms.maskedsum, xc, xm)
