@@ -29,7 +29,7 @@ Package layout
     ``accel.py:211-365``), and shape/padding contracts.
 """
 
-__version__ = "0.4.0"
+__version__ = "0.4.1"
 
 # MAD-to-sigma conversion factor (reference: rfi/__init__.py:31-35).
 MAD_NORMAL = 1.4826
