@@ -96,20 +96,24 @@ def main():
     )
     new = json.load(open(tmp_db)) if os.path.exists(tmp_db) else []
     old = json.load(open(table_path)) if os.path.exists(table_path) else []
-    # Drop stale older-version records for the fns being refreshed: _fetch
-    # matches on 'version' (never relaxed), so they can only ever be dead
-    # weight once the code's autotune_version moved on.
-    refreshed = {(r["fn"], r["platform"], r["device_kind"], r["args"]): r["version"] for r in new}
+    # Drop stale older-version records for the fns being refreshed,
+    # keyed on (fn, args) only: _fetch matches on 'version' (never
+    # relaxed, whatever the TUNE_MATCH mode), so once the code's
+    # autotune_version moved on an older-version record is unservable for
+    # EVERY device kind — including ones this run did not re-measure.
+    refreshed = {(r["fn"], r["args"]): r["version"] for r in new}
     old = [
         r for r in old
-        if refreshed.get((r["fn"], r["platform"], r["device_kind"], r["args"]), r["version"])
-        <= r["version"]
+        if refreshed.get((r["fn"], r["args"]), r["version"]) <= r["version"]
     ]
     key_fields = ("fn", "version", "platform", "device_kind", "args")
     merged = {tuple(r.get(k) for k in key_fields): r for r in old}
     merged.update({tuple(r.get(k) for k in key_fields): r for r in new})
     with open(table_path, "w") as f:
-        json.dump(sorted(merged.values(), key=lambda r: (r["fn"], r["args"])), f, indent=1)
+        # sort_keys matches tune._save_record so table diffs stay
+        # key-order-stable.
+        json.dump(sorted(merged.values(), key=lambda r: (r["fn"], r["args"])), f,
+                  indent=1, sort_keys=True)
     print(f"wrote {len(merged)} records to {table_path}", file=sys.stderr)
     if os.path.exists(tmp_db):
         os.unlink(tmp_db)

@@ -37,12 +37,14 @@ def _json_lines(stdout: str):
 
 @pytest.mark.slow
 def test_headline_small():
-    r = _run("--iters", "2", "--channels", "512", "--baselines", "64", "--slab", "32")
+    r = _run("--iters", "2", "--channels", "512", "--baselines", "64",
+             "--pols", "1", "--slab", "32")
     assert r.returncode == 0, r.stderr[-2000:]
     (rec,) = _json_lines(r.stdout)
     assert rec["metric"] == "rfi_flagger_visibilities_per_second_per_chip"
     assert "parity" in r.stderr  # mask-parity assertion ran
     assert rec["pols"] == 1 and rec["rows"] == 64
+    assert "onepol" not in rec  # side record only for pol-flattened dumps
     assert 0 < rec["vs_compute_roofline"] < 10
 
 
@@ -55,6 +57,31 @@ def test_headline_pols():
     assert r.returncode == 0, r.stderr[-2000:]
     (rec,) = _json_lines(r.stdout)
     assert rec["pols"] == 2 and rec["rows"] == 64
+    # the 1-pol side record rides along (per-vis scale invariance evidence)
+    assert rec["onepol"]["rows"] == 32
+    assert rec["onepol"]["vis_per_second"] > 0
+
+
+def test_probe_outage():
+    """A dead tunnel must abort with exit 3 AFTER waiting through every
+    retry window — not hang forever, and not give up on the first window
+    (rounds 1 and 3 both lost their driver-captured bench record to a
+    single-probe abort on a transiently-down tunnel)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(ROOT) + os.pathsep + env.get("PYTHONPATH", "")
+    env["KATSDPSIGPROC_TPU_PLATFORM"] = "cpu"
+    env["KATSDPSIGPROC_TPU_BENCH_FORCE_OUTAGE"] = "1"
+    env["KATSDPSIGPROC_TPU_BENCH_PROBE_SECS"] = "0.2"
+    env["KATSDPSIGPROC_TPU_BENCH_PROBE_RETRY_SECS"] = "0.2"
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "bench.py"), "--iters", "1"],
+        cwd=str(ROOT), env=env, capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 3, (r.returncode, r.stderr[-2000:])
+    assert r.stdout.strip() == ""  # no JSON record on an outage
+    # all three windows were waited through before aborting
+    assert "window 1/3" in r.stderr and "window 3/3" in r.stderr
+    assert "device unreachable" in r.stderr
 
 
 @pytest.mark.slow

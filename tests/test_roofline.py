@@ -58,6 +58,9 @@ def test_prim_table_override(tmp_path):
     assert t2 == roofline.DEFAULT_PRIM_NS
     # malformed values (null / nested JSON on a real key) fall back to
     # the defaults instead of raising out of bench.py's loader
-    for bad in ('{"add": null}', '{"add": [1, 2]}', "not json at all"):
+    # (including a non-dict top level, which would otherwise escape as
+    # AttributeError on .items())
+    for bad in ('{"add": null}', '{"add": [1, 2]}', "not json at all",
+                "[1, 2]", '"just a string"', "3.5"):
         p.write_text(bad)
         assert roofline.prim_ns(str(p)) == roofline.DEFAULT_PRIM_NS

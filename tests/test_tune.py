@@ -88,6 +88,35 @@ class TestAutotunerTable:
         _FakeOp.autotune(None, 8)
         assert _FakeOp.ran
 
+    def test_nearest_match_unknown_device_kind_warns(self, tmp_path, monkeypatch, caplog):
+        """A device generation the table has never seen (e.g. a v6e run
+        against the shipped v5e-only table) inherits the nearest record —
+        with a logged warning, so the silent-inheritance failure mode is
+        at least visible (reference semantics: tune.py:151-199)."""
+        import logging
+
+        db = tmp_path / "t.json"
+        monkeypatch.setenv("KATSDPSIGPROC_TPU_TUNE_DB", str(db))
+        _FakeOp.autotune(None, 8)  # record under the real device columns
+        records = json.loads(db.read_text())
+        assert records[0]["device_kind"] != "TPU v99 hyper"
+
+        from katsdpsigproc_tpu.utils import backend
+
+        monkeypatch.setattr(backend, "device_kind_key",
+                            lambda: ("tpu", "TPU v99 hyper"))
+        monkeypatch.setenv("KATSDPSIGPROC_TPU_TUNE_MATCH", "nearest")
+        _FakeOp.ran = False
+        with caplog.at_level(logging.WARNING, logger="katsdpsigproc_tpu.utils.tune"):
+            assert _FakeOp.autotune(None, 8) == {"wgs": 16}
+        assert not _FakeOp.ran  # inherited, no live search
+        assert any("inherited" in r.message and "TPU v99 hyper" in r.message
+                   for r in caplog.records)
+        # exact matching refuses the foreign record and re-tunes instead
+        monkeypatch.setenv("KATSDPSIGPROC_TPU_TUNE_MATCH", "exact")
+        _FakeOp.autotune(None, 8)
+        assert _FakeOp.ran
+
     def test_stub(self, monkeypatch):
         monkeypatch.setattr(tune, "autotuner_impl", tune.stub_autotuner)
         _FakeOp.ran = False
@@ -220,17 +249,31 @@ def test_shipped_table_versions_match_code():
     by_fn = {}
     for rec in table:
         by_fn.setdefault(rec["fn"], set()).add(rec["version"])
-    for cls in [
-        transpose.TransposeTemplate,
-        percentile.Percentile5Template,
-        rfi_device.BackgroundMedianFilterDeviceTemplate,
-        rfi_device.NoiseEstMADTDeviceTemplate,
-        rfi_device.NoiseEstMADDeviceTemplate,
-        pallas_flagger.FusedFlaggerTemplate,
-    ]:
+    # Canonical production instantiations: the args each template's
+    # default construction binds (derived through tune._keys so the JSON
+    # canonicalization cannot drift from the lookup path).  A same-version
+    # record at a DIFFERENT args granularity would keep the version check
+    # green while production still falls through to a live search.
+    canonical = [
+        (transpose.TransposeTemplate, ("float32",)),
+        (transpose.TransposeTemplate, ("complex64",)),
+        (percentile.Percentile5Template, (5000, True)),
+        (rfi_device.BackgroundMedianFilterDeviceTemplate, (13,)),
+        (rfi_device.NoiseEstMADTDeviceTemplate, (32768,)),
+        (rfi_device.NoiseEstMADDeviceTemplate, ()),
+        (pallas_flagger.FusedFlaggerTemplate, (13, 4)),
+    ]
+    shipped = {(r["fn"], r["version"], r["args"]) for r in table}
+    for cls, args in canonical:
         fn = f"{cls.__name__}.autotune"
         assert cls.autotune_version in by_fn.get(fn, set()), (
             f"{fn}: shipped table has versions {sorted(by_fn.get(fn, set()))} "
             f"but the code requires autotune_version={cls.autotune_version} — "
             f"re-run scripts/tune_all.py (or scripts/retune_fused.py) on-chip"
+        )
+        keys = tune._keys(cls.autotune, (None,) + args, {})
+        assert (keys["fn"], cls.autotune_version, keys["args"]) in shipped, (
+            f"{fn}: no shipped record at the production args {keys['args']} "
+            f"(version {cls.autotune_version}) — the version matches but the "
+            f"canonical instantiation would still run a live search"
         )
