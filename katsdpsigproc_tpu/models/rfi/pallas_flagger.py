@@ -168,7 +168,7 @@ def _roll(x, shift: int, axis: int, interpret: bool):
     return pltpu.roll(x, shift % x.shape[axis], axis)
 
 
-def _shift_channels(x, d: int, interpret: bool, lane=None):
+def _shift_channels(x, d: int, interpret: bool, lane=None, h: int = 0):
     """out[r, w] = x at logical channel position (r, w+d) in band-folded rows.
 
     `x` is (R, W) where each consecutive group of H rows is one baseline's
@@ -177,15 +177,27 @@ def _shift_channels(x, d: int, interpret: bool, lane=None):
     masked by the caller on the global channel iota (all callers do).
     `lane` lets callers pass a precomputed lane iota (hoisted out of hot
     shift chains).
+
+    ``h=1`` (the whole channel axis on one row, e.g. the fold=32768
+    headline layout) collapses the shift to ONE lane roll: the cross-band
+    correction moves values between ROWS, but with one band per row every
+    row-crossing source is an out-of-range channel the caller masks
+    anyway, so the sublane roll and the lane-mask select vanish —
+    3 vector ops → 1.  This is the single biggest win of the wide-fold
+    layout (round 5): 12 median members + 12 threshold ladder/dilation
+    shifts each drop 2 full-block ops, and every rank round's band
+    matmul disappears (see ``_band_matrix``).
     """
     if d == 0:
         return x
     w = x.shape[-1]
     if abs(d) >= w:
         raise ValueError("shift exceeds fold width")
+    rl = _roll(x, -d, 1, interpret)
+    if h == 1:
+        return rl
     if lane is None:
         lane = lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    rl = _roll(x, -d, 1, interpret)
     if d > 0:
         rs = _roll(rl, -1, 0, interpret)  # lanes >= W-d spill into the next row
         return jnp.where(lane < w - d, rl, rs)
@@ -199,7 +211,14 @@ def _band_matrix(rows: int, h: int):
     Built from iota inside the kernel (a captured constant would be
     rejected by pallas_call).  ``G @ x`` both sums each band's rows and
     broadcasts the total back to every row of the band.
+
+    ``h == 1`` makes G the identity: callers pass ``g=None`` instead and
+    :func:`_band_sum` / :func:`_band_max` become passthroughs — the 32
+    per-rank-round MXU matmuls leave the serial
+    reduce→matmul→select dependency chain entirely.
     """
+    if h == 1:
+        return None
     ri = lax.broadcasted_iota(jnp.int32, (rows, rows), 0) // h
     rj = lax.broadcasted_iota(jnp.int32, (rows, rows), 1) // h
     return (ri == rj).astype(jnp.float32)
@@ -207,6 +226,8 @@ def _band_matrix(rows: int, h: int):
 
 def _band_sum(g, x_rows):
     """Per-band total of per-row values (R, 1), broadcast back to rows."""
+    if g is None:  # one band per row (h == 1)
+        return x_rows
     return jnp.dot(g, x_rows, preferred_element_type=jnp.float32)
 
 
@@ -217,6 +238,8 @@ def _band_max(m_rows, h: int, interpret: bool, g=None):
     first row (which holds the full-band max) is broadcast through G
     (sum-broadcast works: one non-zero contribution per band).
     """
+    if h == 1:
+        return m_rows
     rows = m_rows.shape[0]
     r_iota = lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
     h_pos = r_iota % h
@@ -268,7 +291,8 @@ def _masked_median_rows(members, n, width: int):
     return (v_lo + v_hi) * jnp.float32(0.5)
 
 
-def _median_parity_fill(amp, col, width: int, channels: int, interpret: bool):
+def _median_parity_fill(amp, col, width: int, channels: int, interpret: bool,
+                        h: int = 0):
     """Windowed masked median, edge truncation via ±inf parity fills.
 
     The fast path for the no-input-flags pipeline (the headline
@@ -297,7 +321,7 @@ def _median_parity_fill(amp, col, width: int, channels: int, interpret: bool):
     ``width`` — callers fall back to the general path.
     """
     half = width // 2
-    lane = lax.broadcasted_iota(jnp.int32, amp.shape, 1)
+    lane = None if h == 1 else lax.broadcasted_iota(jnp.int32, amp.shape, 1)
     p0 = jnp.where((col & 1) == 1, -_INF, _INF)  # −inf iff col odd
     p1 = -p0  # −inf iff col even
     members = []
@@ -305,7 +329,7 @@ def _median_parity_fill(amp, col, width: int, channels: int, interpret: bool):
         if d == 0:
             members.append(amp)
             continue
-        shifted = _shift_channels(amp, d, interpret, lane)
+        shifted = _shift_channels(amp, d, interpret, lane, h)
         if d < 0:
             valid = col >= -d
             q = (-d) & 1
@@ -518,14 +542,14 @@ def _madnz_band(absdev, g, h: int, channels: int, interpret: bool,
 
 
 def _threshold_sum_band(dev, noise_rows, col, channels: int, n_sigma, n_windows: int,
-                        falloff, interpret: bool = False):
+                        falloff, interpret: bool = False, h: int = 0):
     """SumThreshold along folded channels of (R, W); float32 0/1 flags.
 
     `col` is the global-channel iota; `dev` must be 0 on fold padding;
     `noise_rows` is the per-row (band-broadcast) noise estimate.
     """
     flags = None  # materialized lazily: window 1 needs no clamp/dilation
-    lane = lax.broadcasted_iota(jnp.int32, dev.shape, 1)
+    lane = None if h == 1 else lax.broadcasted_iota(jnp.int32, dev.shape, 1)
     base_threshold = (jnp.float32(n_sigma) * noise_rows).astype(jnp.float32)  # (R, 1)
     for w in range(n_windows):
         window = 1 << w
@@ -544,7 +568,7 @@ def _threshold_sum_band(dev, noise_rows, col, channels: int, n_sigma, n_windows:
         sums = clamped
         done = 1
         while done < window:
-            sums = sums + _shift_channels(sums, done, interpret, lane)
+            sums = sums + _shift_channels(sums, done, interpret, lane, h)
             done *= 2
         if window == 1:
             # col <= channels - 1 is tautological in-band, and fold-padding
@@ -562,7 +586,7 @@ def _threshold_sum_band(dev, noise_rows, col, channels: int, n_sigma, n_windows:
         acc = sf
         done = 1
         while done < window:
-            acc = jnp.maximum(acc, _shift_channels(acc, -done, interpret, lane))
+            acc = jnp.maximum(acc, _shift_channels(acc, -done, interpret, lane, h))
             done *= 2
         flags = jnp.maximum(flags, acc)
     return jnp.zeros(dev.shape, jnp.float32) if flags is None else flags
@@ -638,10 +662,13 @@ def _flagger_body(vis_ref, in_flags_ref, flags_ref, *, width: int, n_sigma: floa
         im = vis_ref[1]
         amp = jnp.sqrt(re * re + im * im)  # (R, W)
     rows, ww = amp.shape
-    col = (
-        (lax.broadcasted_iota(jnp.int32, amp.shape, 0) % h) * ww
-        + lax.broadcasted_iota(jnp.int32, amp.shape, 1)
-    )
+    if h == 1:  # one band per row: the channel index IS the lane index
+        col = lax.broadcasted_iota(jnp.int32, amp.shape, 1)
+    else:
+        col = (
+            (lax.broadcasted_iota(jnp.int32, amp.shape, 0) % h) * ww
+            + lax.broadcasted_iota(jnp.int32, amp.shape, 1)
+        )
     g = _band_matrix(rows, h)
 
     if flags_mode == "full":
@@ -669,13 +696,13 @@ def _flagger_body(vis_ref, in_flags_ref, flags_ref, *, width: int, n_sigma: floa
         # Fast path: members absent only at channel edges → ±inf parity
         # fills pin the median at fixed sorted ranks (no valid-count pass,
         # no rank-indexed selection); bit-identical to the general path.
-        med = _median_parity_fill(amp, col, width, channels, interpret)
+        med = _median_parity_fill(amp, col, width, channels, interpret, h)
         dev = amp - med  # amp is finite (no prior flags); NaN only on fold padding
     else:
         # Window members via folded-channel shifts, absent members +inf.
         members = []
         for d in range(-half, half + 1):
-            shifted = _shift_channels(amp, d, interpret)
+            shifted = _shift_channels(amp, d, interpret, h=h)
             valid = (col + d >= 0) & (col + d < channels)
             members.append(jnp.where(valid, shifted, _INF))
         if use_flags:
@@ -703,7 +730,7 @@ def _flagger_body(vis_ref, in_flags_ref, flags_ref, *, width: int, n_sigma: floa
         dev0 = jnp.where(in_band, dev, 0.0)
     noise_rows = _madnz_band(absdev, g, h, channels, interpret, rank_radix)
     flags = _threshold_sum_band(dev0, noise_rows, col, channels, n_sigma, n_windows,
-                                falloff, interpret)
+                                falloff, interpret, h)
     # flags are float32 0/1; scale and cast via int32 (Mosaic has no direct
     # f32→u8 cast, and i1 relayouts to 8-bit tiling are unsupported).
     if flag_value != 1:
@@ -736,10 +763,13 @@ def _madnz_threshold_block(dev_ref, out_ref, *, n_sigma, n_windows, falloff,
                            flag_value, channels, h, interpret, rank_radix: int = 1):
     dev = dev_ref[...]
     rows, ww = dev.shape
-    col = (
-        (lax.broadcasted_iota(jnp.int32, dev.shape, 0) % h) * ww
-        + lax.broadcasted_iota(jnp.int32, dev.shape, 1)
-    )
+    if h == 1:  # one band per row: the channel index IS the lane index
+        col = lax.broadcasted_iota(jnp.int32, dev.shape, 1)
+    else:
+        col = (
+            (lax.broadcasted_iota(jnp.int32, dev.shape, 0) % h) * ww
+            + lax.broadcasted_iota(jnp.int32, dev.shape, 1)
+        )
     g = _band_matrix(rows, h)
     if h * ww == channels:  # exact fold: no padding columns exist
         absdev = jnp.abs(dev)
@@ -750,7 +780,7 @@ def _madnz_threshold_block(dev_ref, out_ref, *, n_sigma, n_windows, falloff,
         dev0 = jnp.where(in_band, dev, 0.0)
     noise_rows = _madnz_band(absdev, g, h, channels, interpret, rank_radix)
     flags = _threshold_sum_band(dev0, noise_rows, col, channels, n_sigma, n_windows,
-                                falloff, interpret)
+                                falloff, interpret, h)
     if flag_value != 1:
         flags = flags * flag_value
     out_ref[:, :] = flags.astype(jnp.int32).astype(jnp.uint8)
@@ -910,12 +940,15 @@ class FusedFlaggerTemplate:
         # footprint: wider folds mean fewer bands and cheaper cross-band
         # shift corrections.  The old fixed 1024 dated to round-2
         # remote-AOT ceilings; the round-4 ladder measured 1024 -> 8192 as
-        # 11.60 -> 9.66 ms/dump on v5e (16384 ties; a fully-unfolded
-        # 32768-lane block still crashes the remote compile helper at
-        # bb >= 16, and compiles-but-loses at bb = 8).
+        # 11.60 -> 9.66 ms/dump on v5e (16384 ties on the round-4 kernel).
+        # 32768 (the full headline channel count) is the h=1 regime: one
+        # band per row, so every channel shift is a single lane roll and
+        # the per-rank-round band matmuls vanish (round-5 kernel
+        # specialization) — it crashes the round-2 GRID compiler at
+        # bb >= 16 but the DMA pipeline compiles it.
         return _tune.autotune(generate, bb=[1, 2, 4, 8, 16, 32], nref=[1, 2],
                               pipeline=["grid", "dma"], ingest=["planar", "amp"],
-                              fold=[1024, 8192, 16384])
+                              fold=[1024, 8192, 16384, 32768])
 
     def __call__(self, vis_t, input_flags=None, n_sigma: float = 11.0, interpret: bool = False,
                  channel_flags=None):

@@ -47,10 +47,20 @@ from typing import Dict, List, Mapping, Optional, Tuple
 DEFAULT_PRIM_NS: Dict[str, float] = {
     "add": 68.0,        # elementwise add/or/select-class op
     "minmax": 68.0,     # one min or max (the selection-network unit)
-    "cmp_f32": 136.0,   # compare + i32/f32 convert (the rank-round body)
-    "shift_ch": 204.0,  # band-folded channel shift: 2 lane rolls + select
-    "reduce": 136.0,    # full-block lane reduction to (R, 1) + use
+    "cmp_f32": 136.0,   # compare + i32/f32 convert (reference only; see rank_round)
+    "shift_ch": 204.0,  # band-folded channel shift (h=1: one lane roll)
+    "reduce": 136.0,    # full-block lane reduction to (R, 1) + use (reference only)
     "sqrt": 68.0,
+    # One rank-search round as a measured COMPOSITE: per-row threshold →
+    # full-block compare+convert → lane reduce, serially dependent.  The
+    # inventory prices the rank stage with this instead of cmp_f32 +
+    # reduce because per-op costs are NOT additive under ILP (round 4: a
+    # bare lane reduce nets <= 0 behind add-class ops, yet the round is
+    # not free) — the composite is what any exact bitwise rank search
+    # must execute per round, and it measures cleanly
+    # (scripts/prim_cost.py "rank_round").  Default = the old modeled
+    # cmp_f32 + reduce sum.
+    "rank_round": 272.0,
 }
 
 # Below this a chain measurement is a folding/noise artifact, not a cost
@@ -86,6 +96,9 @@ def prim_ns(path: Optional[str] = None) -> Dict[str, float]:
         if loaded:
             table["__measured__"] = len(set(loaded) & set(DEFAULT_PRIM_NS)) / len(
                 DEFAULT_PRIM_NS)
+            # Which keys are measured, so compute_roofline can report the
+            # fraction over the primitives its inventory actually uses.
+            table["__measured_keys__"] = sorted(set(loaded) & set(DEFAULT_PRIM_NS))
     except (OSError, ValueError, TypeError):
         # TypeError: float(None)/float(list) from a malformed or
         # partially-written JSON value — fall back to the modeled
@@ -111,10 +124,12 @@ def op_inventory(width: int = 13, n_windows: int = 4,
     - median selection: the best-known selection network for sorted
       ranks {6, 7} of 13 is 61 min/max exchanges
       (``ops.rank._ANNEALED_SELECT``, 0-1-verified) + 1 subtract.
-    - MAD rank search: ``rank_rounds`` × (compare-convert + cross-lane
-      count).  The per-band count broadcast is (R, hh)-shaped — ≤ 1/W of
-      a full-block op, dropped from the floor.  Plus one zeros-count
-      sweep (round 0) and ~2 ops of halfway/max-below correction.
+    - MAD rank search: ``rank_rounds`` serially-dependent rounds of the
+      measured ``rank_round`` composite (per-row threshold →
+      compare-convert → cross-lane count), plus one zeros-count sweep
+      (round 0) and ~2 ops of halfway/max-below correction.  The per-band
+      count broadcast is (R, hh)-shaped — ≤ 1/W of a full-block op,
+      dropped from the floor (identically zero at the h=1 layout).
     - SumThreshold: per window w ∈ {1, 2, 4, 8}: Kogge-Stone sum ladder
       (log2 w doubling steps, each shift + add), 1 threshold compare,
       and log2 w flag-dilation steps (shift + or); window 1 skips the
@@ -139,8 +154,7 @@ def op_inventory(width: int = 13, n_windows: int = 4,
         ("median", "add", 2),  # edge parity fills
         ("median", "minmax", net_ops),  # selection network min/max ops
         ("median", "add", 1),  # background subtract
-        ("rank", "cmp_f32", rank_rounds + 1),  # rounds + zeros sweep
-        ("rank", "reduce", rank_rounds + 1),
+        ("rank", "rank_round", rank_rounds + 1),  # rounds + zeros sweep
         ("rank", "add", 2),  # halfway correction
         ("threshold", "shift_ch", half_ladders),  # sum-ladder shifts
         ("threshold", "add", half_ladders + n_windows + 1),  # adds+cmps+scale
@@ -157,17 +171,28 @@ def compute_roofline(baselines: int, channels: int,
     """Algorithm speed-of-light for a (baselines × channels) dump.
 
     Returns seconds per dump, vis/s, and the per-stage ns breakdown per
-    block.  Block geometry matches the shipped kernel: (rows, 1024)
-    band-folded blocks (the primitive costs were measured at that shape;
-    per-vis cost is shape-invariant once the VPU is saturated — the flat
-    slab sweep, BASELINE_RESULTS.md round 3).
+    block.  The normalization assumes the primitive costs were measured
+    at a ``rows * 1024``-element f32 block (any aspect: the shipped
+    prim_ns.json is measured at the kernel's own (8, 32768) h=1 band
+    layout, = 256·1024 elements; per-vis cost is shape-invariant once
+    the VPU is saturated — the flat slab sweep, BASELINE_RESULTS.md
+    round 3).  COSTS ARE LAYOUT-SENSITIVE: re-run scripts/prim_cost.py
+    at the shipped layout whenever the kernel's fold changes.
     """
     table = dict(prim_table) if prim_table is not None else prim_ns()
     measured = float(table.pop("__measured__", 0.0))
+    measured_keys = set(table.pop("__measured_keys__", ()))
     stage_ns: Dict[str, float] = {}
+    used_prims = set()
     for stage, prim, count in op_inventory(width, n_windows):
+        used_prims.add(prim)
         stage_ns[stage] = stage_ns.get(stage, 0.0) + count * table[prim]
     block_ns = sum(stage_ns.values())
+    if measured_keys:
+        # Report the measured fraction over the primitives the inventory
+        # ACTUALLY prices (table entries kept only for reference, like the
+        # bare `reduce`, must not dilute it).
+        measured = len(measured_keys & used_prims) / len(used_prims)
     # The primitive costs are per (rows, 1024) block = rows·1024 elements;
     # the inventory is one full sweep over the block, and every visibility
     # appears in exactly one block element, so the dump cost is the

@@ -107,7 +107,7 @@ def main():
 
     # --- median: parity-fill fast path ---
     fast = functools.partial(pf._median_parity_fill, width=args.width,
-                             channels=channels, interpret=True)
+                             channels=channels, interpret=True, h=hh)
     total += census(lambda a, c: fast(a, c), amp, col, rows=rows, ww=ww,
                     label="median-fast")
 
@@ -116,7 +116,7 @@ def main():
         half = args.width // 2
         members = []
         for d in range(-half, half + 1):
-            shifted = pf._shift_channels(a, d, True)
+            shifted = pf._shift_channels(a, d, True, h=hh)
             valid = (c + d >= 0) & (c + d < channels)
             members.append(jnp.where(valid, shifted, pf._INF))
         n = jnp.zeros(a.shape, jnp.int32)
@@ -137,7 +137,7 @@ def main():
 
     # --- threshold ---
     def thr(dev, noise):
-        return pf._threshold_sum_band(dev, noise, col, channels, 11.0, 4, 1.2, True)
+        return pf._threshold_sum_band(dev, noise, col, channels, 11.0, 4, 1.2, True, hh)
 
     total += census(thr, amp, jnp.zeros((rows, 1), jnp.float32), rows=rows,
                     ww=ww, label="threshold")

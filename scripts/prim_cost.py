@@ -91,7 +91,7 @@ def make_kernel(body, steps: int, unroll: int, rows: int, ww: int, h: int,
         lane = lax.broadcasted_iota(jnp.int32, (rows, ww), 1)
         mask = lane < (ww // 2)
         g = pf._band_matrix(rows, h)
-        env = {"lane": lane, "mask": mask, "g": g, "interpret": interpret}
+        env = {"lane": lane, "mask": mask, "g": g, "h": h, "interpret": interpret}
         x0 = x_ref[...]
         y0 = x0 * np.float32(0.5) + np.float32(0.125)
 
@@ -140,10 +140,21 @@ BODIES = {
                   1, 2),
     "roll_sub": (lambda x, y, e: jnp.minimum(pf._roll(y, 1, 0, e["interpret"]), _C) + x,
                  1, 2),
-    "shift_ch": (lambda x, y, e: pf._shift_channels(y, 1, e["interpret"], e["lane"]) + x,
+    "shift_ch": (lambda x, y, e: pf._shift_channels(y, 1, e["interpret"], e["lane"],
+                                                    e["h"]) + x,
                  1, 1),
     "reduce": (lambda x, y, e: jnp.minimum(x, _C) + jnp.sum(y, axis=1, keepdims=True),
                1, 2),
+    # The rank-search round as ONE composite: per-row threshold from the
+    # carry → full-block compare+convert → lane reduce → fed back.  This
+    # is the serial unit the kernel's 32 rank rounds execute (at h = 1 the
+    # band matmul is gone); measuring it whole sidesteps the round-4
+    # finding that per-op costs are not additive under ILP (a bare lane
+    # reduce nets <= 0 behind add-class ops, yet the round is not free).
+    "rank_round": (lambda x, y, e: jnp.minimum(x, _C)
+                   + jnp.sum((y < x[:, :1]).astype(jnp.float32), axis=1,
+                             keepdims=True),
+                   1, 2),
     "band_mm": (lambda x, y, e: jnp.minimum(x, _C)
                 + pf._band_sum(e["g"], jnp.sum(y, axis=1, keepdims=True)),
                 1, 2),  # reduce + band matvec; charged net of reduce below

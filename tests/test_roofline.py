@@ -16,9 +16,10 @@ def test_inventory_counts():
     assert 100 < total < 330
     stages = {s for s, _, _ in inv}
     assert stages == {"amplitude", "median", "rank", "threshold", "output"}
-    # rank rounds: 31 bitwise + zeros sweep
-    rank_cmps = sum(c for s, p, c in inv if s == "rank" and p == "cmp_f32")
-    assert rank_cmps == 32
+    # rank rounds: 31 bitwise + zeros sweep, priced as the measured
+    # serial composite (threshold -> compare+convert -> lane count)
+    rank_rounds = sum(c for s, p, c in inv if s == "rank" and p == "rank_round")
+    assert rank_rounds == 32
 
 
 def test_roofline_scales_linearly():
