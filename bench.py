@@ -303,10 +303,11 @@ def main():
     parser.add_argument("--width", type=int, default=13)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--bb", type=int, default=16, help="Pallas baselines-per-block (16: offline-tuned round 4, and a same-process A/B measured bb=16 1-3%% faster than 8 on both DMA engines)")
-    parser.add_argument("--fold", type=int, default=8192,
+    parser.add_argument("--fold", type=int, default=32768,
                         help="band-fold lane width for the Pallas engines "
-                             "(capped at the padded channel count; 8192: "
-                             "round-4 on-chip ladder, 17%% over the old 1024)")
+                             "(capped at the padded channel count; 32768 = "
+                             "the h=1 regime: single-roll shifts, no band "
+                             "matmuls — round-5 A/B measured 17%% over 8192)")
     parser.add_argument("--nref", type=int, default=1,
                         help="Pallas blocks per grid step (hybrid engine)")
     parser.add_argument("--slab", type=int, default=288, help="Pallas baselines-per-dispatch")

@@ -890,7 +890,7 @@ class FusedFlaggerTemplate:
     ``wgs``/``csplit`` searches.
     """
 
-    autotune_version = 7  # v7: the `fold` (band lane width) dimension
+    autotune_version = 8  # v8: h=1 wide-fold kernel (fold=channels regime)
 
     def __init__(self, context, width: int = 13, n_windows: int = 4,
                  threshold_falloff: float = 1.2, flag_value: int = 1, tuning=None):

@@ -133,8 +133,12 @@ def op_inventory(width: int = 13, n_windows: int = 4,
     - SumThreshold: per window w ∈ {1, 2, 4, 8}: Kogge-Stone sum ladder
       (log2 w doubling steps, each shift + add), 1 threshold compare,
       and log2 w flag-dilation steps (shift + or); window 1 skips the
-      ladders.  Σ = 2 + 6 + 10 + 14 = 32 add-class ops with 6 of the
-      shifts as ``shift_ch``; + 1 noise scale.
+      ladders.  Both the ladder and the dilation shifts are real channel
+      shifts (``shift_ch``; until round 5 the dilation shifts were
+      mispriced as add-class — at the h=1 layout a lane roll costs ~2.6
+      adds, so that undercharged the floor by ~8%): 12 ``shift_ch`` + 17
+      add-class (6 ladder adds + 4 compares + 1 noise scale + 6 dilation
+      maxes).
     - output: f32 0/1 → i32 → u8 cast-store, 2 ops.
     """
     half_ladders = sum(int(w).bit_length() - 1 for w in
@@ -156,9 +160,9 @@ def op_inventory(width: int = 13, n_windows: int = 4,
         ("median", "add", 1),  # background subtract
         ("rank", "rank_round", rank_rounds + 1),  # rounds + zeros sweep
         ("rank", "add", 2),  # halfway correction
-        ("threshold", "shift_ch", half_ladders),  # sum-ladder shifts
+        ("threshold", "shift_ch", half_ladders * 2),  # ladder + dilation shifts
         ("threshold", "add", half_ladders + n_windows + 1),  # adds+cmps+scale
-        ("threshold", "add", half_ladders * 2),  # dilation shift+or
+        ("threshold", "add", half_ladders),  # dilation ors
         ("output", "add", 2),
     ]
     return inv

@@ -186,6 +186,13 @@ def main():
     ap.add_argument("--emit-json", action="store_true",
                     help="write the measured table to models/rfi/prim_ns.json "
                          "(consumed by models.rfi.roofline's compute roofline)")
+    ap.add_argument("--norm-elems", type=int, default=262144,
+                    help="normalize emitted per-op ns to this block element "
+                         "count (the roofline convention: 256*1024 f32 "
+                         "elements).  Lets the chains run at the SHIPPED "
+                         "kernel's exact block aspect even when its element "
+                         "count differs — e.g. the (16, 32768) h=1 block is "
+                         "2x the convention, so emitted values are halved.")
     args = ap.parse_args()
 
     from katsdpsigproc_tpu.utils.profiling import time_scan
@@ -232,7 +239,13 @@ def main():
 
         from katsdpsigproc_tpu.models.rfi import roofline
 
-        out = {k: round(v, 1) for k, v in results.items() if v >= FLOOR_NS}
+        scale = args.norm_elems / float(args.rows * args.width)
+        out = {k: round(v * scale, 1) for k, v in results.items()
+               if v * scale >= FLOOR_NS}
+        if scale != 1.0:
+            print(f"normalizing per-op ns by {scale:g} "
+                  f"({args.rows}x{args.width} block -> {args.norm_elems} elems)",
+                  file=sys.stderr)
         dropped = sorted(set(results) - set(out))
         with open(roofline._PRIM_JSON, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
