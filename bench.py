@@ -460,10 +460,14 @@ def main():
     # comparison against the transpose-free XLA engine is apples-to-apples.
     slab = min(args.slab, args.baselines)
     vis_xla = jnp.asarray(planar)
+    # The grid engine cannot compile 32768-lane blocks (round-2 AOT
+    # ceiling — only the DMA pipeline digests the h=1 fold), so it runs
+    # at its own best compilable fold.
+    grid_fold = min(args.fold, 8192)
     engine_fns = {
         "pallas": lambda v: pallas_flagger.flag_dump(
             jnp.swapaxes(v, 0, 1), slab=slab, width=args.width,
-            n_sigma=11.0, bb=args.bb, nref=args.nref, fold=args.fold,
+            n_sigma=11.0, bb=args.bb, nref=args.nref, fold=grid_fold,
             interpret=interpret,
         ),
         # One grid step per slab: the in-kernel DMA block loop pays the
@@ -554,20 +558,6 @@ def main():
             log(f"onepol leg failed: {str(exc).splitlines()[0][:160]}")
     roofline = hbm * 1e9 / BYTES_PER_VIS
     vs_baseline = value / (TARGET_FRACTION * roofline)
-    # The algorithm's compute speed of light: the kernel is VPU-compute
-    # bound (stage ablation, BASELINE_RESULTS.md), so the HBM roofline
-    # above mis-states what "speed of light" means for this exact
-    # pipeline.  vs_compute_roofline reports the fraction of the MINIMUM
-    # vector-op inventory × the measured per-op throughput
-    # (models.rfi.roofline; refresh prim_ns.json via scripts/prim_cost.py).
-    from katsdpsigproc_tpu.models.rfi import roofline as _roofline
-
-    cr = _roofline.compute_roofline(args.baselines, args.channels, width=args.width)
-    _mfrac = cr["prim_ns_measured"]
-    log(f"compute roofline: {cr['seconds_per_dump'] * 1e3:.2f} ms/dump "
-        f"({cr['vis_per_second'] / 1e9:.1f} Gvis/s; prim table "
-        f"{f'{_mfrac * 100:.0f}% measured' if _mfrac else 'DEFAULT estimates'}) — "
-        f"best engine at {value / cr['vis_per_second'] * 100:.1f}% of it")
     # Measured streaming ceiling: this environment's sustained HBM copy
     # rate sits well below datasheet (round 2: 429 vs 819 GB/s nominal),
     # so the roofline fraction is reported against BOTH — the paper number
@@ -592,6 +582,49 @@ def main():
             f"measured-copy roofline)")
     except Exception as exc:  # noqa: BLE001 — diagnostics only
         log(f"streaming-ceiling probe failed: {exc}")
+    # The algorithm's compute speed of light: the kernel is VPU-compute
+    # bound (stage ablation, BASELINE_RESULTS.md), so the HBM roofline
+    # above mis-states what "speed of light" means for this exact
+    # pipeline.  vs_compute_roofline reports the fraction of the MINIMUM
+    # vector-op inventory × the measured per-op throughput
+    # (models.rfi.roofline; refresh prim_ns.json via scripts/prim_cost.py).
+    #
+    # The scan timing harness adds a data-dependent zero to the full
+    # input every iteration (the anti-CSE inject, utils.profiling.
+    # time_scan) — a full read+write of the dump that is a HARNESS
+    # artifact, not algorithm work (a production pipeline receives each
+    # dump once; it does not re-copy it on-chip first).  Its cost is
+    # priced from the SAME-RUN copy probe (the inject is the probe's
+    # exact op: x + scalar) and vs_compute_roofline is reported net of
+    # it; the raw fraction ships alongside so no number is hidden.
+    from katsdpsigproc_tpu.models.rfi import roofline as _roofline
+
+    cr = _roofline.compute_roofline(args.baselines, args.channels, width=args.width)
+    _mfrac = cr["prim_ns_measured"]
+    inject_s = 0.0
+    if "measured_copy_gbps" in measured:
+        input_bytes = args.channels * args.baselines * 8  # planar f32 pair
+        # Price the inject at the FASTEST credible rate (the 128 MB probe
+        # under-reads large sequential copies, and a too-slow rate
+        # over-deducts — one capture read 107% of the compute floor that
+        # way).  max(probe, datasheet) keeps the net fraction a lower
+        # bound.
+        inject_gbps = max(measured["measured_copy_gbps"], hbm)
+        inject_s = 2 * input_bytes / (inject_gbps * 1e9)
+        if inject_s > 0.5 * dt:
+            # Tiny smoke shapes: the engine run is dispatch-dominated and
+            # the modeled inject exceeds half the measurement — a net
+            # number would be noise; report raw instead.
+            log(f"harness-inject model ({inject_s * 1e3:.2f} ms) not "
+                f"credible against dt={dt * 1e3:.2f} ms; reporting raw")
+            inject_s = 0.0
+    value_net = n_vis / (dt - inject_s)
+    log(f"compute roofline: {cr['seconds_per_dump'] * 1e3:.2f} ms/dump "
+        f"({cr['vis_per_second'] / 1e9:.1f} Gvis/s; prim table "
+        f"{f'{_mfrac * 100:.0f}% measured' if _mfrac else 'DEFAULT estimates'}) — "
+        f"best engine at {value_net / cr['vis_per_second'] * 100:.1f}% of it "
+        f"net of the {inject_s * 1e3:.1f} ms harness inject "
+        f"({value / cr['vis_per_second'] * 100:.1f}% raw)")
     log(
         f"best end-to-end engine [{best_name}]: {dt * 1e3:.3f} ms "
         f"(marginal per-iteration time over {args.iters} on-chip iters); "
@@ -612,7 +645,9 @@ def main():
                 "value": value,
                 "unit": "vis/s",
                 "vs_baseline": vs_baseline,
-                "vs_compute_roofline": value / cr["vis_per_second"],
+                "vs_compute_roofline": value_net / cr["vis_per_second"],
+                "vs_compute_roofline_raw": value / cr["vis_per_second"],
+                "harness_inject_seconds": inject_s,
                 "compute_roofline_vis_per_second": cr["vis_per_second"],
                 "compute_roofline_prims_measured": cr["prim_ns_measured"],
                 "rows": args.baselines,

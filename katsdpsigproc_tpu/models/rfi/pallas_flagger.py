@@ -1010,8 +1010,16 @@ def flag_dump(vis_t, input_flags=None, slab: int = 256, width: int = 13,
                   channel_flags=channel_flags, layout=layout)
     if pipeline == "dma":
         slab_fn = functools.partial(flag_transposed_dma, ingest=ingest)
-    else:
-        slab_fn = functools.partial(flag_transposed, nref=nref, ingest=ingest)
+        # The DMA engine's in-kernel fori_loop IS the slab loop (operands
+        # stay in HBM; blocks stream through double-buffered VMEM), so the
+        # whole dump runs as ONE kernel invocation and the lax.scan
+        # wrapper below is never needed.  This is not just simpler — at
+        # fold = 32768 the remote Mosaic AOT service rejects the
+        # scan-wrapped module outright (round 5: every scan-path compile
+        # at the 4-pol dump failed with helper exit 1, while the same
+        # kernel one-shot over 8064 baselines compiled in seconds).
+        return slab_fn(vis_t, input_flags, **kwargs)
+    slab_fn = functools.partial(flag_transposed, nref=nref, ingest=ingest)
     baselines, channels = _vis_dims(vis_t, layout)
     if baselines <= slab:
         return slab_fn(vis_t, input_flags, **kwargs)
