@@ -890,7 +890,7 @@ class FusedFlaggerTemplate:
     ``wgs``/``csplit`` searches.
     """
 
-    autotune_version = 8  # v8: h=1 wide-fold kernel (fold=channels regime)
+    autotune_version = 9  # v9: dump-representative tuner shape (1008 rows)
 
     def __init__(self, context, width: int = 13, n_windows: int = 4,
                  threshold_falloff: float = 1.2, flag_value: int = 1, tuning=None):
@@ -911,9 +911,13 @@ class FusedFlaggerTemplate:
     @_tune.autotuner(test={"bb": 4, "nref": 1, "pipeline": "grid", "ingest": "planar",
                            "fold": 1024})
     def autotune(cls, context, width, n_windows):
-        # 256 baselines ≈ the production slab (flag_dump slices 256–288):
-        # 64 under-represented the per-block amortization and mis-ranked bb.
-        channels, baselines = 32768, 256
+        # 1008 baselines — half the production dump.  256 (the round-4
+        # shape) mis-ranked `ingest`: the amp preamble's relative cost
+        # shrinks at small dumps, so the tuner picked amp while the
+        # decisive dump-scale A/B (round 5: planar 29.80 vs amp 34.14 ms
+        # at 8064 rows, 5 interleaved rounds) says planar by 13%.  At
+        # 1008 rows the ranking matches the dump scale.
+        channels, baselines = 32768, 1008
         rs = np.random.RandomState(seed=1)
         vis_t = jnp.asarray(rs.standard_normal((baselines, channels, 2)).astype(np.float32))
 
