@@ -444,3 +444,46 @@ def test_rank_variants_match_binary():
             np.asarray(_madnz_band(x, g, h, channels, True, zeros_fold=True)), base)
     with pytest.raises(ValueError, match="zeros_fold"):
         _madnz_band(x, g, h, channels, True, zeros_fold=True, rank_radix=2)
+
+
+def test_wide_fold_h1_matches_multiband():
+    """The h=1 regime (fold covers all channels — the shipped headline
+    configuration) must produce flags bit-identical to a multi-band fold
+    of the SAME dump: h=1 specializes every channel shift to a single
+    lane roll and deletes the band matmuls (_shift_channels h==1,
+    _band_matrix -> None), so this pins the specialized code paths
+    against the general ones AND against the host oracle."""
+    channels, baselines = 1024, 8
+    vis, _, _ = rfi_test_data(shape=(channels, baselines), seed=7)
+    vis_t = jnp.asarray(np.moveaxis(rfi_device.to_planar(vis), 0, 1))
+    host_flagger = rfi_host.FlaggerHost(
+        rfi_host.BackgroundMedianFilterHost(13),
+        rfi_host.NoiseEstMADHost(),
+        rfi_host.ThresholdSumHost(11.0),
+    )
+    expected = host_flagger(vis)
+    # multi-band (h=8) and wide-fold (h=1), grid and DMA pipelines
+    multi = np.asarray(pallas_flagger.flag_transposed(
+        vis_t, bb=8, fold=128, interpret=True))
+    wide = np.asarray(pallas_flagger.flag_transposed(
+        vis_t, bb=8, fold=1024, interpret=True))
+    wide_dma = np.asarray(pallas_flagger.flag_transposed_dma(
+        vis_t, bb=8, fold=1024, interpret=True))
+    np.testing.assert_equal(multi.T, expected)
+    np.testing.assert_equal(wide, multi)
+    np.testing.assert_equal(wide_dma, multi)
+
+
+def test_flag_dump_dma_never_scans():
+    """flag_dump(pipeline='dma') runs the whole dump as ONE kernel (the
+    in-kernel DMA loop replaces the slab scan — the remote AOT service
+    rejects scan-wrapped 32768-lane pallas calls).  Flags must still be
+    identical to the slab-scanned grid path."""
+    channels, baselines = 256, 32
+    vis, _, _ = rfi_test_data(shape=(channels, baselines), seed=11)
+    vis_t = jnp.asarray(np.moveaxis(rfi_device.to_planar(vis), 0, 1))
+    via_scan = np.asarray(pallas_flagger.flag_dump(
+        vis_t, slab=8, bb=8, fold=128, interpret=True))  # grid: scans 4 slabs
+    via_dma = np.asarray(pallas_flagger.flag_dump(
+        vis_t, slab=8, bb=8, fold=128, pipeline="dma", interpret=True))
+    np.testing.assert_equal(via_dma, via_scan)
