@@ -136,12 +136,11 @@ def bench_config2(args):
     # LIVE measured engine search — minutes on CPU drives of this config.
     from katsdpsigproc_tpu.utils import backend as _b
 
-    if cols > 5000:
-        # The shipped table record was tuned at max_columns=5000; a wider
-        # request misses the table and falls through to the minutes-long
-        # live engine search the instantiation below exists to avoid.
-        log(f"WARNING: config2 cols={cols} exceeds the shipped tuning-record "
-            f"granularity (5000) — expect a live engine search")
+    # cols is fixed at 4096 in this config; if it ever becomes a CLI
+    # parameter, values > 5000 (the shipped record's max_columns
+    # granularity) would miss the table and trigger a minutes-long live
+    # engine search — assert the invariant instead of warning at runtime.
+    assert cols <= 5000, "config2 cols exceeds the shipped tuning-record granularity"
     tmpl = pct.Percentile5Template(_b.create_some_context(), max(cols, 5000), True)
     log(f"config2 percentile engine: {tmpl.engine}")
     dt_pct = timer(lambda a: pct.percentile5(a, engine=tmpl.engine), x)
@@ -258,7 +257,8 @@ def _probe_device(timeout_s: float = 180.0, attempts: int = 3,
     timeout_s = float(os.environ.get("KATSDPSIGPROC_TPU_BENCH_PROBE_SECS", timeout_s))
     retry_wait_s = float(os.environ.get("KATSDPSIGPROC_TPU_BENCH_PROBE_RETRY_SECS",
                                         retry_wait_s))
-    force_outage = bool(os.environ.get("KATSDPSIGPROC_TPU_BENCH_FORCE_OUTAGE"))
+    force_outage = os.environ.get(
+        "KATSDPSIGPROC_TPU_BENCH_FORCE_OUTAGE", "").lower() not in ("", "0", "false")
 
     done = threading.Event()
 

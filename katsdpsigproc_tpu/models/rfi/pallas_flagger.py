@@ -890,7 +890,7 @@ class FusedFlaggerTemplate:
     ``wgs``/``csplit`` searches.
     """
 
-    autotune_version = 9  # v9: dump-representative tuner shape (1008 rows)
+    autotune_version = 10  # v10: tuner shape 1024 rows (every sweep arm divides)
 
     def __init__(self, context, width: int = 13, n_windows: int = 4,
                  threshold_falloff: float = 1.2, flag_value: int = 1, tuning=None):
@@ -911,13 +911,15 @@ class FusedFlaggerTemplate:
     @_tune.autotuner(test={"bb": 4, "nref": 1, "pipeline": "grid", "ingest": "planar",
                            "fold": 1024})
     def autotune(cls, context, width, n_windows):
-        # 1008 baselines — half the production dump.  256 (the round-4
-        # shape) mis-ranked `ingest`: the amp preamble's relative cost
-        # shrinks at small dumps, so the tuner picked amp while the
+        # 1024 baselines — dump-representative AND divisible by every
+        # sweep arm (bb·nref up to 64; 1008 silently skipped bb=32 and
+        # nref=2 via the _fold_setup divisibility check).  256 (the
+        # round-4 shape) mis-ranked `ingest`: the amp preamble's relative
+        # cost shrinks at small dumps, so the tuner picked amp while the
         # decisive dump-scale A/B (round 5: planar 29.80 vs amp 34.14 ms
         # at 8064 rows, 5 interleaved rounds) says planar by 13%.  At
-        # 1008 rows the ranking matches the dump scale.
-        channels, baselines = 32768, 1008
+        # ~1k rows the ranking matches the dump scale.
+        channels, baselines = 32768, 1024
         rs = np.random.RandomState(seed=1)
         vis_t = jnp.asarray(rs.standard_normal((baselines, channels, 2)).astype(np.float32))
 
@@ -998,16 +1000,22 @@ def flag_dump(vis_t, input_flags=None, slab: int = 256, width: int = 13,
               flag_value: int = 1, bb: int = 1, fold: int = 1024, interpret: bool = False,
               channel_flags=None, nref: int = 1, pipeline: str = "grid",
               layout: str = "trailing", ingest: str = "planar"):
-    """Flag a large dump by slabs of baselines, as ONE program.
+    """Flag a large dump, as ONE program.
 
-    The remote Mosaic AOT service fails on very large grid/buffer sizes
-    (empirically: 252-baseline slabs at 32k channels compile, ≥1008 do
-    not), and per-dispatch latency over the remote tunnel makes a Python
-    loop of slab calls latency-bound.  So the slab loop is a ``lax.scan``
-    over one compiled slab kernel inside a single jit: one dispatch, one
-    kernel compilation, sequential slab executions on-device.  Keyword
-    arguments are those of :func:`flag_transposed` (``channel_flags`` is
-    shared by every slab, not scanned over).
+    ``pipeline="dma"`` (the shipped configuration): the whole dump runs
+    as ONE kernel invocation — the in-kernel DMA block loop is the slab
+    loop — and ``slab``/``nref`` are ignored.  See the inline comment
+    below for why no scan wrapper exists on this path.
+
+    ``pipeline="grid"``: the remote Mosaic AOT service fails on very
+    large grid/buffer sizes (empirically: 252-baseline slabs at 32k
+    channels compile, ≥1008 do not), and per-dispatch latency over the
+    remote tunnel makes a Python loop of slab calls latency-bound.  So
+    the slab loop is a ``lax.scan`` over one compiled slab kernel inside
+    a single jit: one dispatch, one kernel compilation, sequential slab
+    executions on-device.  Keyword arguments are those of
+    :func:`flag_transposed` (``channel_flags`` is shared by every slab,
+    not scanned over).
     """
     kwargs = dict(width=width, n_sigma=n_sigma, n_windows=n_windows, falloff=falloff,
                   flag_value=flag_value, bb=bb, fold=fold, interpret=interpret,

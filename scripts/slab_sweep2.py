@@ -51,8 +51,11 @@ def main():
     for slab in args.slabs:
         variants[f"grid-{slab}"] = (lambda v, s=slab: pf.flag_dump(
             v, slab=s, n_sigma=11.0, bb=args.bb))
-        variants[f"dma-{slab}"] = (lambda v, s=slab: pf.flag_dump(
-            v, slab=s, n_sigma=11.0, bb=args.bb, pipeline="dma"))
+    # flag_dump(pipeline="dma") ignores `slab` since round 5 (the
+    # in-kernel DMA loop runs the whole dump as one kernel), so a
+    # per-slab dma sweep would time the identical program N times.
+    variants["dma-oneshot"] = (lambda v: pf.flag_dump(
+        v, n_sigma=11.0, bb=args.bb, pipeline="dma"))
 
     good = {}
     ref = None

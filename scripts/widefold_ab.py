@@ -94,11 +94,9 @@ def main():
     print("--- medians ---")
     for name, _ in alive:
         med = float(np.median(times[name]))
-        dump_ms = med * 2016 * 4 / args.slab * 1e3 / 4  # per 2016-row dump
         print(f"{name}: {med * 1e3:.3f} ms/slab "
               f"({med / args.slab * 1e6:.2f} us/baseline; "
-              f"2016-row dump ~{med * 2016 / args.slab * 1e3:.2f} ms)"
-              + ("" if dump_ms else ""), flush=True)
+              f"2016-row dump ~{med * 2016 / args.slab * 1e3:.2f} ms)", flush=True)
 
 
 if __name__ == "__main__":
