@@ -509,22 +509,21 @@ def main():
     try:
         vis_leading = jnp.moveaxis(jnp.swapaxes(vis_xla, 0, 1), -1, 0)
         vis_leading.block_until_ready()
-        # One-shot whole-dump slab: the leading layout's zero-copy ingest
-        # exists only on the slab >= baselines path (flag_dump's scan path
-        # re-permutes the leading dump — a full-size copy that would
-        # re-introduce exactly the corner turn this leg quantifies
-        # removing).  The slab switch is recorded in the JSON note.
+        # DMA pipeline (one-shot whole-dump kernel): the leading layout's
+        # band fold is a free reshape, so this leg is the zero-preamble
+        # configuration — kernel-only plus the harness inject.
         t_lead = timer(
             lambda v: pallas_flagger.flag_dump(
-                v, slab=args.baselines, width=args.width, n_sigma=11.0,
-                bb=args.bb, fold=args.fold, interpret=interpret, layout="leading"),
+                v, width=args.width, n_sigma=11.0, bb=args.bb,
+                fold=args.fold, pipeline="dma", interpret=interpret,
+                layout="leading"),
             vis_leading,
         )
         extras["pallas_leading_ingest"] = {
             "seconds_per_dump": t_lead,
             "vis_per_second": n_vis / t_lead,
-            "note": "planar-leading (2,B,C) ingest, one-shot whole-dump "
-                    "slab (zero-copy path); excluded from headline",
+            "note": "planar-leading (2,B,C) ingest, one-shot DMA kernel "
+                    "(zero-copy, zero-preamble path); excluded from headline",
         }
         log(f"engine[pallas_leading_ingest]: {t_lead * 1e3:.3f} ms "
             f"({n_vis / t_lead / 1e9:.2f} Gvis/s; non-headline leg)")
