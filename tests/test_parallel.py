@@ -286,3 +286,15 @@ class TestShardedFusedFlagger:
         fn = pflagger.make_sharded_fused_flagger(mesh_1d, bb=4, interpret=True)
         with pytest.raises(ValueError, match="divide"):
             fn(jnp.zeros((28, 256, 2), jnp.float32))
+
+    def test_dma_pipeline_matches_grid(self, mesh_1d):
+        """The shipped production pipeline (one-shot in-kernel DMA loop)
+        under sharding: same flags as the grid pipeline per shard."""
+        vis, _, _ = rfi_test_data(shape=(128, 32), seed=33)
+        vis_t = jnp.asarray(np.moveaxis(rfi_device.to_planar(vis), 0, 1).copy())
+        grid = pflagger.make_sharded_fused_flagger(
+            mesh_1d, width=13, n_sigma=11.0, bb=4, interpret=True)
+        dma = pflagger.make_sharded_fused_flagger(
+            mesh_1d, width=13, n_sigma=11.0, bb=4, interpret=True,
+            pipeline="dma")
+        np.testing.assert_equal(np.asarray(dma(vis_t)), np.asarray(grid(vis_t)))
