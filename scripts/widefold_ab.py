@@ -47,6 +47,8 @@ def main():
     ap.add_argument("--slab", type=int, default=288)
     ap.add_argument("--channels", type=int, default=32768)
     ap.add_argument("--ingest", default="amp", choices=["amp", "planar"])
+    ap.add_argument("--interpret", action="store_true",
+                    help="interpret-mode Pallas (CPU smoke; timings meaningless)")
     args = ap.parse_args()
 
     rs = np.random.RandomState(1)
@@ -62,7 +64,8 @@ def main():
 
     def call(kw):
         return lambda v: pf.flag_transposed_dma(
-            v, width=13, n_sigma=11.0, ingest=args.ingest, **kw)
+            v, width=13, n_sigma=11.0, ingest=args.ingest,
+            interpret=args.interpret, **kw)
 
     # parity (bit-exact across block geometries) + compile warm-up per leg
     ref = None

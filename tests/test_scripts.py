@@ -92,3 +92,25 @@ def test_multichip_bench():
         assert rec["metric"] == "multichip_scaling_efficiency"
         assert rec["n_devices"] == 8
         assert 0 < rec["value"] < 10
+
+
+@pytest.mark.slow
+def test_roofline_skeleton_interpret():
+    """The floor-evidence harness (skeleton/model reconciliation) must
+    keep running — in interpret mode the ratio is meaningless but the
+    inventory construction, the DMA loop plumbing, and the model lookup
+    are all exercised."""
+    r = _run("roofline_skeleton.py", "--interpret", "--slab", "16",
+             "--bb", "8", "--channels", "512", "--iters", "2", "--reps", "1")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "skeleton/model" in r.stdout
+
+
+@pytest.mark.slow
+def test_widefold_ab_interpret():
+    """The wide-fold A/B protocol script parity-checks its legs even in
+    interpret mode (tiny shapes; timings are not meaningful on CPU)."""
+    r = _run("widefold_ab.py", "--rounds", "1", "--iters", "2",
+             "--slab", "16", "--channels", "512")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "medians" in r.stdout
